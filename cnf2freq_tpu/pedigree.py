@@ -1,0 +1,235 @@
+"""Pedigree data model.
+
+Replaces the reference's ``struct individ`` + global registries
+(``individer[]``, ``indmap``, ``dous``; cnF2freq.cpp:853-914, 2448-2514,
+6479-6493) with an explicit :class:`Pedigree` object holding plain numpy
+arrays, ready to be packed into device tensors.
+
+Individuals are stored in one table indexed by a dense integer id (1-based
+to match the reference's numbering; index 0 is reserved as "nobody").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .config import ModelConfig, UNKNOWN
+
+
+@dataclasses.dataclass
+class Individual:
+    """One pedigree member; mirrors ``struct individ`` fields that are part
+    of the data model (cnF2freq.cpp:853-902)."""
+
+    n: int                         # dense 1-based id
+    name: str = ""
+    gen: int = 0
+    sex: int = 0
+    empty: bool = True             # no genotype data read for this individual
+    pars: Tuple[int, int] = (0, 0)  # parent ids, 0 = missing
+    founder: bool = False
+    descendants: int = 0
+    children: int = 0
+
+    # per-marker data; allocated lazily by Pedigree.freeze()
+    markerdata: Optional[np.ndarray] = None   # [M, 2] int32 allele values
+    markersure: Optional[np.ndarray] = None   # [M, 2] float64 error probs
+    haploweight: Optional[np.ndarray] = None  # [M] float64 phase weights
+    relhaplo: Optional[np.ndarray] = None     # [M] float64 adjacent-phase
+    priormarkerdata: Optional[np.ndarray] = None
+    priormarkersure: Optional[np.ndarray] = None
+    has_prior: bool = False
+    negshift: Optional[np.ndarray] = None
+    variances: Optional[np.ndarray] = None
+    lockstart: Optional[List[int]] = None
+    lastinved: Optional[List[int]] = None
+
+
+class Pedigree:
+    """Registry of individuals + genetic map.
+
+    The genetic map lives here too (the reference keeps it in globals
+    ``markerposes``/``chromstarts``/``actrec``; cnF2freq.cpp:233-296).
+    """
+
+    def __init__(self, config: ModelConfig = None):
+        self.config = config or ModelConfig()
+        self._byname: Dict[str, int] = {}
+        self.inds: List[Optional[Individual]] = [None]  # index 0 = nobody
+        self.dous: List[int] = []          # analysis worklist (ids)
+        self.markerposes: np.ndarray = np.zeros(0)
+        self.chromstarts: List[int] = []
+        self.actrec: Optional[np.ndarray] = None  # [2, M] per-sex rates
+        self._frozen = False
+
+    # ------------------------------------------------------------------
+    def getind(self, name: str, create: bool = True) -> Optional[Individual]:
+        """Name-keyed lookup, creating on miss (cnF2freq.cpp:6480-6491).
+        The name "0" maps to nobody, as in the reference's ``zeroguy``."""
+        if name == "0":
+            return None
+        if name in self._byname:
+            return self.inds[self._byname[name]]
+        if not create:
+            return None
+        n = len(self.inds)
+        ind = Individual(n=n, name=name)
+        self.inds.append(ind)
+        self._byname[name] = n
+        return ind
+
+    def by_id(self, n: int) -> Optional[Individual]:
+        if n <= 0 or n >= len(self.inds):
+            return None
+        return self.inds[n]
+
+    @property
+    def num_markers(self) -> int:
+        return len(self.markerposes)
+
+    @property
+    def num_chromosomes(self) -> int:
+        return len(self.chromstarts) - 1
+
+    def chromosome_range(self, c: int) -> Tuple[int, int]:
+        return self.chromstarts[c], self.chromstarts[c + 1]
+
+    # ------------------------------------------------------------------
+    def freeze(self):
+        """Allocate per-marker arrays for every individual (the lazy sizing
+        in getind, cnF2freq.cpp:2469-2508)."""
+        m = self.num_markers
+        nchrom = max(self.num_chromosomes, 0)
+        for ind in self.inds[1:]:
+            if ind.markerdata is None:
+                ind.markerdata = np.full((m, 2), UNKNOWN, dtype=np.int32)
+                ind.markersure = np.zeros((m, 2))
+                ind.haploweight = np.full(m, 0.5)
+                ind.negshift = np.zeros(m)
+                ind.variances = np.zeros(m)
+                if self.config.relskews:
+                    ind.relhaplo = np.full(m, 0.5)
+                ind.lockstart = [0] * nchrom
+                ind.lastinved = [-1] * nchrom
+        self._frozen = True
+
+    # ------------------------------------------------------------------
+    def count_descendants(self):
+        """Propagate descendant counts upward (cnF2freq.cpp:3226-3256):
+        every individual contributes max(own descendants, 1) to each parent,
+        iterated to a fixed point; leaves end up with descendants >= 1."""
+        for ind in self.inds[1:]:
+            ind.descendants = 0
+        upsent = {ind.n: 0 for ind in self.inds[1:]}
+        changed = True
+        while changed:
+            changed = False
+            for ind in self.inds[1:]:
+                now = ind.descendants or 1
+                now -= upsent[ind.n]
+                if now > 0:
+                    for p in ind.pars:
+                        if p:
+                            self.inds[p].descendants += now
+                    upsent[ind.n] += now
+                    changed = True
+        for ind in self.inds[1:]:
+            if ind.descendants == 0:
+                ind.descendants = 1
+
+    def count_children(self, dous_only: bool = True):
+        """Child counts as rebuilt at the top of each iteration
+        (cnF2freq.cpp:5222-5259)."""
+        for ind in self.inds[1:]:
+            ind.children = 0
+        source = (self.by_id(i) for i in self.dous) if dous_only \
+            else iter(self.inds[1:])
+        for ind in source:
+            if ind is None:
+                continue
+            for p in ind.pars:
+                if p:
+                    self.inds[p].children += 1
+
+    # ------------------------------------------------------------------
+    def family_slots(self, n: int) -> List[int]:
+        """The analysis-unit slot table for focal individual ``n``:
+        [focal, par0, gp00, gp01, par1, gp10, gp11] ids, 0 where missing.
+        Mirrors the tree walked by fixtrees (cnF2freq.cpp:3099-3187)."""
+        cfg = self.config
+        out = [0] * cfg.numslots
+        out[0] = n
+        ind = self.by_id(n)
+        if ind is None:
+            return out
+        for k in range(2):
+            p = ind.pars[k]
+            out[cfg.parent_slot(k)] = p
+            if p and cfg.numgen == 3:
+                par = self.by_id(p)
+                for j in range(2):
+                    out[cfg.grandparent_slot(k, j)] = par.pars[j]
+        return out
+
+    def fixtrees(self, n: int) -> Tuple[int, int]:
+        """Compute (shiftignore, flag2ignore) masks for focal ``n``
+        (fixtrees, cnF2freq.cpp:3099-3187).  A set bit in flag2ignore means
+        that path bit must stay 0 (slot missing or empty); a set bit in
+        shiftignore disables that shift mode.  Also marks the focal as
+        founder when no ancestral information exists."""
+        cfg = self.config
+        ind = self.by_id(n)
+        if not cfg.haplotyping:
+            return 0, 0
+        flag2keep = 1
+        shiftkeep = 0
+        anylev1 = False
+        for k in range(2):
+            p = self.by_id(ind.pars[k]) if ind.pars[k] else None
+            if p is None:
+                continue
+            pslot = cfg.parent_slot(k)
+            shiftval = (2 << k) if cfg.numgen == 3 else 0
+            if not p.empty:
+                flag2keep |= 1 << pslot
+            anypars = False
+            if cfg.numgen > 2:
+                for j in range(2):
+                    gp = self.by_id(p.pars[j]) if p.pars[j] else None
+                    if gp is not None and not gp.empty:
+                        flag2keep |= 1 << (pslot + j + 1)
+                        anypars = True
+            if anypars:
+                shiftkeep |= shiftval
+            if anypars or not p.empty:
+                anylev1 = True
+        if anylev1:
+            shiftkeep |= 1
+        else:
+            ind.founder = True
+        return (cfg.numshifts - 1) ^ shiftkeep, (cfg.numpaths - 1) ^ flag2keep
+
+    def arerelated(self, a: int, b: int) -> bool:
+        """Relatedness within two generations (cnF2freq.cpp:916-946)."""
+        def ancestors(n, depth):
+            out = {n}
+            if depth >= 2:
+                return out
+            ind = self.by_id(n)
+            for p in ind.pars if ind else ():
+                if p:
+                    out |= ancestors(p, depth + 1)
+            return out
+
+        aa, bb = ancestors(a, 0), ancestors(b, 0)
+        if aa & bb:
+            return True
+        akids = {k for n in aa for k in self._kids_of(n)}
+        bkids = {k for n in bb for k in self._kids_of(n)}
+        return bool(akids & bkids) or b in akids or a in bkids
+
+    def _kids_of(self, n: int) -> List[int]:
+        return [ind.n for ind in self.inds[1:] if ind and n in ind.pars]
