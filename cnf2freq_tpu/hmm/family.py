@@ -1,0 +1,119 @@
+"""Family-batch tensors: the analysis units of a marker scan.
+
+The reference walks pointers through ``individ::pars`` per probe
+(cnF2freq.cpp:1279-1332).  Here we gather, once per scan, everything the
+emission computation needs into dense arrays over
+
+    [B, SLOT, M, ...]   B = focal individuals, SLOT = 7 family slots,
+                        M = markers of one chromosome,
+
+so the whole emission model becomes fixed-shape tensor algebra (vmappable,
+shardable over B).
+
+Slot order: 0=focal, 1=parent0, 2=gp00, 3=gp01, 4=parent1, 5=gp10, 6=gp11
+(the flag2-bit layout of fixtrees, cnF2freq.cpp:3099-3187).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..config import ModelConfig
+from ..pedigree import Pedigree
+
+
+@dataclasses.dataclass
+class FamilyBatch:
+    """Plain arrays (numpy or jnp) describing B analysis units over M
+    markers.  A pytree — safe to pass through jit."""
+
+    md: np.ndarray          # [B, 7, M, 2] int32 marker values
+    ms: np.ndarray          # [B, 7, M, 2] float error probabilities
+    hw: np.ndarray          # [B, 7, M]    float haplotype weights
+    exists: np.ndarray      # [B, 7] bool  slot occupied by an individual
+    attop: np.ndarray       # [B, 7] bool  slot is a recursion top (founder)
+    flag2ignore: np.ndarray  # [B] int32 canonical-path masks
+    shiftignore: np.ndarray  # [B] int32 disabled shift modes
+    descendants: np.ndarray  # [B] int32
+    slot_ind: np.ndarray    # [B, 7] int32 global individual ids (0 = none)
+
+    @property
+    def num_units(self) -> int:
+        return self.md.shape[0]
+
+    @property
+    def num_markers(self) -> int:
+        return self.md.shape[2]
+
+    def map(self, fn):
+        return FamilyBatch(**{f.name: fn(getattr(self, f.name))
+                              for f in dataclasses.fields(self)})
+
+
+def _flatten(fb: FamilyBatch):
+    return [getattr(fb, f.name) for f in dataclasses.fields(FamilyBatch)], None
+
+
+def _unflatten(_, leaves):
+    return FamilyBatch(*leaves)
+
+
+try:  # register as a jax pytree when jax is importable
+    import jax
+
+    jax.tree_util.register_pytree_node(FamilyBatch, _flatten, _unflatten)
+except Exception:  # pragma: no cover
+    pass
+
+
+def gather_family(ped: Pedigree, focal_ids: Sequence[int],
+                  startmark: int, endmark: int,
+                  dtype=np.float64) -> FamilyBatch:
+    """Build the batch for markers [startmark, endmark] inclusive."""
+    cfg: ModelConfig = ped.config
+    B = len(focal_ids)
+    S = cfg.numslots
+    M = endmark - startmark + 1
+
+    md = np.zeros((B, S, M, 2), dtype=np.int32)
+    ms = np.zeros((B, S, M, 2), dtype=dtype)
+    hw = np.full((B, S, M), 0.5, dtype=dtype)
+    exists = np.zeros((B, S), dtype=bool)
+    attop = np.zeros((B, S), dtype=bool)
+    f2ig = np.zeros(B, dtype=np.int32)
+    shig = np.zeros(B, dtype=np.int32)
+    desc = np.zeros(B, dtype=np.int32)
+    slot_ind = np.zeros((B, S), dtype=np.int32)
+
+    sl = slice(startmark, endmark + 1)
+    for b, n in enumerate(focal_ids):
+        shig[b], f2ig[b] = ped.fixtrees(n)
+        slots = ped.family_slots(n)
+        focal = ped.by_id(n)
+        desc[b] = focal.descendants
+        for s, sid in enumerate(slots):
+            if not sid:
+                continue
+            ind = ped.by_id(sid)
+            exists[b, s] = True
+            slot_ind[b, s] = sid
+            md[b, s] = ind.markerdata[sl]
+            ms[b, s] = ind.markersure[sl]
+            hw[b, s] = ind.haploweight[sl]
+            # grandparent slots are tops by depth; others by founder flag
+            is_gp = s not in (0, cfg.parent_slot(0), cfg.parent_slot(1))
+            attop[b, s] = ind.founder or (is_gp and cfg.numgen == 3)
+    return FamilyBatch(md=md, ms=ms, hw=hw, exists=exists, attop=attop,
+                       flag2ignore=f2ig, shiftignore=shig, descendants=desc,
+                       slot_ind=slot_ind)
+
+
+def scatter_add_per_individual(ped: Pedigree, fb: FamilyBatch,
+                               values: np.ndarray, startmark: int,
+                               target: str):
+    """Accumulate [B, 7, M] statistics back onto per-individual arrays —
+    the host-side equivalent of moveinfprobs/movehaplos target selection."""
+    raise NotImplementedError
