@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark: one full per-iteration chromosome scan on the accelerator vs
+the reference's single-core CPU cost structure.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The workload is the per-iteration compute of a 1000-individual F2
+chromosome scan (BASELINE.json config): emissions, forward-backward over
+all shift modes, posterior update statistics (haplotype + genotype), turn
+likelihoods.  The baseline denominator is bench/cpu_baseline.cc — a fresh
+single-core implementation of the reference's per-iteration algorithm
+(per-probe emission recursions, dense 64x64 transitions), timed on this
+host.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+B = int(os.environ.get("BENCH_B", 1000))
+M = int(os.environ.get("BENCH_M", 192))
+REPS = int(os.environ.get("BENCH_REPS", 5))
+
+
+def cpu_baseline_rate() -> float:
+    """individual*markers/s of the reference-equivalent single-core CPU
+    implementation (measured, small workload, linear extrapolation)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    binpath = os.path.join(here, "bench", "cpu_baseline")
+    src = os.path.join(here, "bench", "cpu_baseline.cc")
+    try:
+        if not os.path.exists(binpath) or \
+                os.path.getmtime(binpath) < os.path.getmtime(src):
+            subprocess.run(["g++", "-O3", "-march=native", "-ffast-math",
+                            "-o", binpath, src], check=True,
+                           capture_output=True)
+        out = subprocess.run([binpath, "4", "128"], check=True,
+                             capture_output=True, text=True,
+                             timeout=300).stdout
+        return float(json.loads(out)["ind_markers_per_s"])
+    except Exception as e:  # toolchain unavailable: recorded fallback
+        print(f"# cpu baseline unavailable ({e}); using recorded rate",
+              file=sys.stderr)
+        return 1400.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cnf2freq_tpu.config import ModelConfig, RuntimeParams
+    from cnf2freq_tpu.engine import chromosome_scan
+    from cnf2freq_tpu.hmm.family import gather_family
+    from cnf2freq_tpu.utils import simulate_f2
+
+    dtype = np.float32
+    ped = simulate_f2(n_f2=B, n_markers=M, n_founder_pairs=max(1, B // 50),
+                      seed=7)
+    for ind in ped.inds[1:]:
+        ped.fixtrees(ind.n)
+    ped.count_descendants()
+    fb = gather_family(ped, ped.dous, 0, ped.num_markers - 1, dtype=dtype)
+    dists = np.diff(ped.markerposes).astype(dtype)
+
+    cfg = ModelConfig()
+    params = RuntimeParams()
+
+    @jax.jit
+    def step(batch, d):
+        return chromosome_scan(batch, d, cfg, params)
+
+    fbj = fb.map(jnp.asarray)
+    dj = jnp.asarray(dists)
+    out = step(fbj, dj)
+    _ = float(np.asarray(out.total).sum())   # force full execution
+    t0 = time.perf_counter()
+    sink = 0.0
+    for _ in range(REPS):
+        out = step(fbj, dj)
+        # explicit host readback: block_until_ready alone under-reports on
+        # the tunneled axon platform
+        sink += float(np.asarray(out.total).sum())
+    dt = (time.perf_counter() - t0) / REPS
+
+    rate = B * M / dt
+    base = cpu_baseline_rate()
+    result = {
+        "metric": "F2 chromosome scan throughput (1k-individual "
+                  "per-iteration workload)",
+        "value": round(rate, 1),
+        "unit": "individual-markers/s",
+        "vs_baseline": round(rate / base, 1),
+        "detail": {
+            "B": B, "M": M, "seconds_per_iteration": round(dt, 4),
+            "cpu_baseline_ind_markers_per_s": round(base, 1),
+            "device": str(jax.devices()[0]),
+            "dtype": "float32",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

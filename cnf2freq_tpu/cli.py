@@ -1,0 +1,95 @@
+"""Command-line interface.
+
+Mirrors the reference's boost::program_options surface
+(cnF2freq.cpp:7946-7988) for the PlantImpute workflow; additional readers
+(ShapeIT haps, PLINK bed, MERLIN, Gigi) attach to the same flags as they
+land.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cnf2freq_tpu",
+        description="TPU-native pedigree-HMM genotype/haplotype inference")
+    p.add_argument("--mapfile", help="PlantImpute cM map file")
+    p.add_argument("--pedfile", help="PlantImpute pedigree file")
+    p.add_argument("--genfile", help="PlantImpute genotype file")
+    p.add_argument("--count", type=int, default=3,
+                   help="number of iterations")
+    p.add_argument("--limit", type=int, default=None,
+                   help="maximum number of individuals")
+    p.add_argument("--output", help="output file for the genotype table")
+    p.add_argument("--deserialize", help="previous dump to restore")
+    p.add_argument("--outputpedfile", help="write a ped file and exit-ish")
+    p.add_argument("--capmarker", type=int, default=None,
+                   help="limit marker count")
+    p.add_argument("--dump", help="haplotype dump file (default stdout)")
+    p.add_argument("--x64", action="store_true", default=True,
+                   help="use float64 (default)")
+    p.add_argument("--f32", dest="x64", action="store_false",
+                   help="use float32 (TPU-fast mode)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    from .driver import Driver
+    from .io import load_plantimpute
+    from .io.outputs import (deserialize, output_ped, write_genotype_table,
+                             write_haplotype_dump)
+
+    if not (args.mapfile and args.pedfile and args.genfile):
+        print("need --mapfile/--pedfile/--genfile", file=sys.stderr)
+        return 2
+    ped = load_plantimpute(args.mapfile, args.pedfile, args.genfile)
+    if args.capmarker:
+        ped.markerposes = ped.markerposes[:args.capmarker]
+        ped.chromstarts[-1] = min(args.capmarker, ped.chromstarts[-1])
+    if args.limit is not None:
+        ped.dous = ped.dous[:args.limit]
+
+    dtype = np.float64 if args.x64 else np.float32
+    driver = Driver(ped, dtype=dtype)
+    driver.preprocess()
+
+    if args.deserialize:
+        with open(args.deserialize) as f:
+            sw = deserialize(ped, f)
+        for n, s in sw.items():
+            print(f"Switches {n} {ped.by_id(n).name}\t{s}")
+
+    if args.outputpedfile:
+        output_ped(ped, args.outputpedfile)
+
+    dump_out = open(args.dump, "w") if args.dump else sys.stdout
+    for i in range(args.count):
+        driver.state.early = i < 1
+        if not driver.state.early:
+            info = driver.iterate()
+            print(f"iter {i}: hitnnn={info['hitnnn']} "
+                  f"inverted={info['inverted']} "
+                  f"scalefactor={info['scalefactor']:.6f}", file=sys.stderr)
+        write_haplotype_dump(ped, dump_out)
+    if args.dump:
+        dump_out.close()
+
+    if args.output:
+        with open(args.output, "w") as f:
+            write_genotype_table(ped, driver.pair_tables, f)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

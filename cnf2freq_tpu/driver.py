@@ -1,0 +1,602 @@
+"""Iteration driver: the outer EM-like loop.
+
+Orchestrates one full iteration of the reference's ``doit``
+(cnF2freq.cpp:5189-6410) and the ``postmarkerdata`` preprocessing
+(cnF2freq.cpp:3191-3412) on top of the tensorized engine: batched
+forward-backward over all focal individuals, contraction-based update
+statistics, native phase-flip optimisation, vectorized capped-gradient
+parameter updates.
+
+Device work happens per chromosome on [B, M, ...] tensors; the residual
+host work is bookkeeping over small per-individual structures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .config import ModelConfig, RuntimeParams, SEXMARKER, UNKNOWN
+from .hmm.emission import assemble_e_all, build_blocks
+from .hmm.family import gather_family
+from .hmm.forward_backward import combined_loglik, forward_backward
+from .hmm.probes import (haplo_stats, infprob_stats, posterior_weight,
+                         turn_scores)
+from .pedigree import Pedigree
+from .updates import (relskew_ratio, update_haploweights, update_infprobs)
+from .updates.phaseflip import (FlipCandidate, apply_flips,
+                                extract_candidates, family_variables,
+                                pattern_scores, select_winner, solve_marker,
+                                FamilyClauses, WEIGHT_CLAMP_HI,
+                                WEIGHT_CLAMP_LO)
+
+_MOVEHAPLO_TINY = math.exp(-400) * 5e-6 * 5e-6 * 0.5  # cnF2freq.cpp:3605
+
+
+@dataclasses.dataclass
+class DriverState:
+    """Mutable cross-iteration knobs (the reference's globals)."""
+
+    scalefactor: float = 0.013
+    oldhitnnn: int = 0
+    oldhitnnn2: int = 0
+    iter: int = 0
+    early: bool = True
+
+
+class Driver:
+    def __init__(self, ped: Pedigree, params: Optional[RuntimeParams] = None,
+                 dtype=np.float64):
+        self.ped = ped
+        self.cfg: ModelConfig = ped.config
+        self.params = params or RuntimeParams()
+        self.state = DriverState(scalefactor=self.params.scalefactor)
+        self.dtype = dtype
+        self.pair_tables: Dict[int, np.ndarray] = {}
+
+    # ------------------------------------------------------------------
+    # Preprocessing (postmarkerdata)
+    # ------------------------------------------------------------------
+    def preprocess(self):
+        ped = self.ped
+        self._correction_inference_loop()
+        ped.count_descendants()
+        for ind in ped.inds[1:]:
+            ped.fixtrees(ind.n)       # sets founder flags
+        self._compute_variances()
+        for ind in ped.inds[1:]:
+            if self.cfg.haplotyping and ind.haploweight is not None:
+                for c in range(ped.num_chromosomes):
+                    self._lockhaplos(ind, c)
+
+    def _correction_inference_loop(self):
+        ped = self.ped
+        while True:
+            ped.count_children(dous_only=False)
+            for ind in ped.inds[1:]:
+                self._fixkid(ind)
+            ped.count_descendants()
+            any_corr = self._fixparents_round()
+            if not any_corr:
+                break
+
+    def _fixkid(self, ind):
+        """Fill a fully-missing genotype from homozygous parents
+        (cnF2freq.cpp:1469-1487)."""
+        ped = self.ped
+        md, ms = ind.markerdata, ind.markersure
+        both_unknown = (md[:, 0] == UNKNOWN) & (md[:, 1] == UNKNOWN)
+        for p in range(2):
+            par = ped.by_id(ind.pars[p]) if ind.pars[p] else None
+            if par is None or par.markerdata is None:
+                continue
+            pm = par.markerdata
+            hom = (pm[:, 0] != UNKNOWN) & (pm[:, 0] == pm[:, 1])
+            take = both_unknown & hom
+            md[take, p] = pm[take, 0]
+            ms[take, p] = 0.5
+
+    def _feasibility(self):
+        """okvals[ind, m, r]: is any inheritance path with the focal's
+        allele slot r as primary interpretation feasible (fixparents check,
+        cnF2freq.cpp:1412-1428).  Evaluated at shift 0, all paths."""
+        ped = self.ped
+        ids = [ind.n for ind in ped.inds[1:]]
+        fb = gather_family(ped, ids, 0, ped.num_markers - 1,
+                           dtype=self.dtype)
+        blocks = build_blocks(fb, self.cfg, ci=True)
+        pb0 = np.asarray(blocks.pb[0].sum(axis=-2))   # [B, M, r, fp, sk]
+        pb1 = np.asarray(blocks.pb[1].sum(axis=-2))
+        froot = np.asarray(blocks.froot)
+        top = np.asarray(blocks.top)
+        # any state with positive emission, per r, at shift 0
+        e = (froot[:, :, :, None, None, 0]
+             * pb0[:, :, :, :, None, 0]
+             * pb1[:, :, :, None, :, 0])
+        ok = (e > 0).any(axis=(3, 4))
+        ok_top = top[:, :, :, 0] > 0
+        attop = np.asarray(blocks.focal_attop)[:, None, None]
+        return ids, np.where(attop, ok_top, ok)
+
+    def _fixparents_round(self) -> int:
+        """One correction round: propagate child genotypes to parents and
+        resolve (cnF2freq.cpp:1392-1467, 3282-3357)."""
+        ped = self.ped
+        ids, ok = self._feasibility()
+        M = ped.num_markers
+        proposals: Dict[int, List[Dict[int, List[float]]]] = {}
+
+        def prop_map(n):
+            if n not in proposals:
+                proposals[n] = [dict() for _ in range(M)]
+            return proposals[n]
+
+        any_corr = 0
+        for bi, n in enumerate(ids):
+            ind = ped.by_id(n)
+            md, msu = ind.markerdata, ind.markersure
+            for m in range(M):
+                ok0, ok1 = ok[bi, m]
+                if not ok0 and not ok1:
+                    if md[m, 0] != UNKNOWN or md[m, 1] != UNKNOWN:
+                        md[m] = (UNKNOWN, UNKNOWN)
+                        msu[m] = (0.0, 0.0)
+                    continue
+                # propagate only when exactly one interpretation survives
+                # (cnF2freq.cpp:1437)
+                if ok0 and ok1:
+                    continue
+                for r in range(2):
+                    if not ok[bi, m, r]:
+                        continue
+                    for k in range(2):
+                        if not ind.pars[k]:
+                            continue
+                        u = (k ^ r) & 1
+                        val = int(md[m, u])
+                        if val == UNKNOWN:
+                            continue
+                        probit = msu[m, 0] + msu[m, 1]
+                        probit = probit / (1.0 - probit)
+                        pmap = prop_map(ind.pars[k])[m]
+                        old = pmap.get(val, [0, 1.0])
+                        pmap[val] = [old[0] + 1, old[1] * probit]
+
+        for n, permarker in proposals.items():
+            ind = ped.by_id(n)
+            md, msu = ind.markerdata, ind.markersure
+            for m, pmap in enumerate(permarker):
+                pmap.pop(UNKNOWN, None)
+                known = int(md[m, 0] != UNKNOWN) + int(md[m, 1] != UNKNOWN)
+                if known == 2 or not pmap:
+                    continue
+                if md[m, 0] != UNKNOWN:
+                    pmap.setdefault(int(md[m, 0]),
+                                    [ind.children, msu[m, 0]])
+                if md[m, 1] != UNKNOWN:
+                    pmap.setdefault(int(md[m, 1]),
+                                    [ind.children, msu[m, 1]])
+                vals = sorted(pmap.items())
+                if len(vals) == 2:
+                    cnt = vals[0][1][0] + vals[1][1][0]
+                    md[m] = (vals[0][0], vals[1][0])
+                    msu[m] = (_dosureval(cnt, vals[0][1]),
+                              _dosureval(cnt, vals[1][1]))
+                    any_corr += 1
+                elif len(vals) == 1 and known == 0:
+                    md[m] = (vals[0][0], UNKNOWN)
+                    msu[m] = (_dosureval(vals[0][1][0], vals[0][1]), 0.0)
+                    any_corr += 1
+        # sex-marker normalisation (cnF2freq.cpp:3350-3356)
+        for ind in ped.inds[1:]:
+            md = ind.markerdata
+            swap = md[:, 0] == SEXMARKER
+            if swap.any():
+                md[swap] = md[swap][:, ::-1]
+        return any_corr
+
+    def _compute_variances(self):
+        """addvariance for every individual (cnF2freq.cpp:1489-1558):
+        per-marker informativeness from NO_EQUIVALENCE allele-difference
+        probes, feeding the phase-anchor choice."""
+        from .config import ZP_NO_EQUIVALENCE
+        import jax.numpy as jnp
+        ped = self.ped
+        ids = [ind.n for ind in ped.inds[1:]
+               if ind.haploweight is not None]
+        fb = gather_family(ped, ids, 0, ped.num_markers - 1,
+                           dtype=self.dtype)
+        V = [np.asarray(((fb.flag2ignore[:, None] >> (1 + 3 * k)) & 7)
+                        & np.arange(8)[None, :]) == 0 for k in range(2)]
+        sq = np.zeros((len(ids), ped.num_markers))
+        for side in range(2):
+            terms = []
+            for a in range(2):
+                inval = jnp.asarray(fb.md[:, 0, :, a])
+                insv = jnp.asarray(fb.ms[:, 0, :, a])
+                blocks = build_blocks(fb, self.cfg, ci=True,
+                                      zp=ZP_NO_EQUIVALENCE, inval=inval,
+                                      insv=insv, side=side,
+                                      dtype=self.dtype)
+                pb0 = np.asarray(blocks.pb[0])
+                pb1 = np.asarray(blocks.pb[1])
+                p0 = np.einsum("zmrfps,zp->zmrs", pb0, V[0].astype(float))
+                p1 = np.einsum("zmrfps,zp->zmrs", pb1, V[1].astype(float))
+                froot = np.asarray(blocks.froot)
+                t = np.einsum("zmrt,zmru,zmrv->zmrtuv", froot, p0, p1)
+                # founder focal: top term only
+                ttop = np.asarray(blocks.top)
+                ttop = np.broadcast_to(
+                    ttop[:, :, :, :, None, None], t.shape)
+                att = np.asarray(blocks.focal_attop)[:, None, None, None,
+                                                     None, None]
+                terms.append(np.where(att, ttop, t))
+            # one squared allele-difference sum per (r0=f0, s0=shift in
+            # {0,1}); shift bits s1=s2=0 (addvariance loops shiftflagmode
+            # over {0,1} only, cnF2freq.cpp:1510)
+            d = terms[1] - terms[0]
+            sq += (d[..., 0, 0] ** 2).sum(axis=(2, 3))
+        for bi, n in enumerate(ids):
+            ped.by_id(n).variances[:] = sq[bi]
+
+    def _lockhaplos(self, ind, c: int):
+        """Anchor the phase at the most informative marker
+        (cnF2freq.cpp:3045-3079)."""
+        lo, hi = self.ped.chromosome_range(c)
+        if ind.lockstart[c] >= hi:
+            ind.lockstart[c] = 0
+        start = max(lo, ind.lockstart[c])
+        seg = ind.variances[start:hi]
+        if seg.size == 0 or (seg <= 0).all():
+            return
+        j = start + int(np.argmax(seg))
+        ind.haploweight[j] = 0.0 if ind.haploweight[j] <= 0.5 else 1.0
+        ind.lockstart[c] = j + 1
+
+    # ------------------------------------------------------------------
+    # One iteration (doit)
+    # ------------------------------------------------------------------
+    def iterate(self, early: bool = False):
+        import jax.numpy as jnp
+        ped, cfg, params = self.ped, self.cfg, self.params
+        st = self.state
+        st.iter += 1
+        dous = list(ped.dous)
+        ped.count_children(dous_only=True)
+
+        ids = [ind.n for ind in ped.inds[1:]]
+        ind_index = {n: i for i, n in enumerate(ids)}
+        M = ped.num_markers
+        NI = len(ids)
+        haplobase = np.zeros((NI, M))
+        haplocount = np.zeros((NI, M))
+        infacc = np.zeros((NI, M, 2, 2))
+        winners: List[Optional[FlipCandidate]] = []
+
+        for c in range(ped.num_chromosomes):
+            lo, hi = ped.chromosome_range(c)
+            for n in dous:
+                ped.by_id(n).lastinved[c] = -1
+            fbatch = gather_family(ped, dous, lo, hi - 1, dtype=self.dtype)
+            blocks = build_blocks(fbatch, cfg)
+            e = assemble_e_all(blocks, cfg)
+            dists = np.diff(ped.markerposes[lo:hi])
+            fbres = forward_backward(e, jnp.asarray(dists), cfg, params)
+            total = combined_loglik(fbres, jnp.asarray(fbatch.shiftignore))
+            W = posterior_weight(fbres, total,
+                                 jnp.asarray(fbatch.shiftignore))
+            hs = haplo_stats(W, blocks, fbatch, cfg)
+            ist = infprob_stats(W, blocks, fbatch, cfg)
+            ts = turn_scores(fbres, fbatch, cfg)
+            self._store_pair_tables(dous, lo, np.asarray(ist.pair))
+
+            self._scatter_haplos(dous, lo, np.asarray(hs.b12),
+                                 np.asarray(hs.mask), haplobase, haplocount,
+                                 ind_index)
+            self._scatter_infprobs(dous, lo, np.asarray(ist.accum), infacc,
+                                   ind_index)
+
+            if not early:
+                weights = np.array(ts.weight)
+                weights = self._apply_skewterms(dous, lo, hi, weights,
+                                                haplobase, haplocount,
+                                                ind_index)
+                winner = self._optimise_flips(dous, lo, hi, weights, c)
+                winners.append(winner)
+                if winner is not None:
+                    apply_flips(ped, winner, c, haplobase, haplocount,
+                                ind_index)
+            else:
+                winners.append(None)
+
+        any_inv = any(w is not None for w in winners)
+        sf = 0.0 if any_inv else st.scalefactor
+        hits = 0
+        hits += self._process_infprobs(ids, infacc, sf)
+        hits += self._update_haploweights(ids, haplobase, haplocount, sf)
+        self._adapt_scalefactor(any_inv, hits, len(dous))
+        return dict(hitnnn=hits, inverted=any_inv,
+                    scalefactor=st.scalefactor)
+
+    # -- scatter helpers ------------------------------------------------
+    def _unique_members(self, n: int):
+        slots = self.ped.family_slots(n)
+        members: Dict[int, List[int]] = {}
+        for slot, sid in enumerate(slots):
+            if sid:
+                members.setdefault(sid, []).append(slot)
+        return members
+
+    def _store_pair_tables(self, dous, lo, pair):
+        for b, n in enumerate(dous):
+            tab = self.pair_tables.setdefault(
+                n, np.zeros((self.ped.num_markers, 2, 2)))
+            tab[lo:lo + pair.shape[1]] = pair[b]
+
+    def _scatter_haplos(self, dous, lo, b12, mask, haplobase, haplocount,
+                        ind_index):
+        """movehaplos (cnF2freq.cpp:3599-3616): per unique family member,
+        fold the slot-summed b1/b2 ratio into the shared accumulators."""
+        ped = self.ped
+        for b, n in enumerate(dous):
+            desc = ped.by_id(n).descendants
+            for sid, slots in self._unique_members(n).items():
+                i = ind_index[sid]
+                tot = np.zeros((b12.shape[1], 2))
+                used = np.zeros(b12.shape[1], dtype=bool)
+                for s in slots:
+                    tot += np.where(mask[b, :, s, None], b12[b, :, s], 0.0)
+                    used |= mask[b, :, s] & (b12[b, :, s].sum(axis=-1) > 0)
+                hw = ped.by_id(sid).haploweight[lo:lo + b12.shape[1]]
+                unlocked = np.abs(hw - 0.5) < 0.5 - 1e-12
+                take = used & unlocked
+                b1 = tot[:, 0] + _MOVEHAPLO_TINY
+                b2 = tot[:, 1] + _MOVEHAPLO_TINY
+                sl = slice(lo, lo + b12.shape[1])
+                haplobase[i, sl] += np.where(take, b1 / (b1 + b2) * desc,
+                                             0.0)
+                haplocount[i, sl] += np.where(take, desc, 0.0)
+
+    def _scatter_infprobs(self, dous, lo, accum, infacc, ind_index):
+        """moveinfprobs (cnF2freq.cpp:3577-3597): normalise by the focal's
+        slot-0 mass and fold into shared accumulators with duplicate
+        damping and descendant scaling."""
+        ped = self.ped
+        for b, n in enumerate(dous):
+            desc = ped.by_id(n).descendants
+            fsum = accum[b, :, 0, 0, :].sum(axis=-1)    # [M]
+            inv = np.where(fsum > 0, 1.0 / np.where(fsum > 0, fsum, 1.0),
+                           0.0)
+            for sid, slots in self._unique_members(n).items():
+                i = ind_index[sid]
+                tot = accum[b, :, slots].sum(axis=0) if len(slots) > 1 \
+                    else accum[b, :, slots[0]]
+                norm = 2.0 / (2 ** len(slots)) * desc
+                sl = slice(lo, lo + accum.shape[1])
+                infacc[i, sl] += tot * inv[:, None, None] * norm
+
+    def _apply_skewterms(self, dous, lo, hi, weights, haplobase, haplocount,
+                         ind_index):
+        """Relative-skew clause adjustment (calcskewterms + weight update,
+        cnF2freq.cpp:4469-4531, 5929-5959): subtract the focal's skew term
+        from every turn flipping the focal."""
+        if not self.cfg.relskews:
+            return weights
+        ped = self.ped
+        focal_bit = 1 << (self.cfg.turnbits - 1)
+        for b, n in enumerate(dous):
+            ind = ped.by_id(n)
+            i = ind_index[n]
+            hw = ind.haploweight[lo:hi]
+            rh = ind.relhaplo[lo:hi]
+            hb = haplobase[i, lo:hi]
+            hc = haplocount[i, lo:hi]
+            desc = ind.descendants
+            for m in range(hi - lo - 1):
+                skew = 0.0
+                for ix in range(2):
+                    w_ = hw[m + 1 - ix]
+                    wo = hw[m + ix]
+                    r_ = rh[m]
+                    val = wo
+                    now = (w_ * val * (_safe_log(r_) + _safe_log(w_) +
+                                       _safe_log(wo)) +
+                           (1 - w_) * (1 - val) * (_safe_log(r_) +
+                                                   _safe_log(1 - w_) +
+                                                   _safe_log(1 - wo)) +
+                           w_ * (1 - val) * (_safe_log(1 - r_) +
+                                             _safe_log(w_) +
+                                             _safe_log(1 - wo)) +
+                           (1 - w_) * val * (_safe_log(1 - r_) +
+                                             _safe_log(1 - w_) +
+                                             _safe_log(wo)))
+                    then = ((1 - w_) * val * (_safe_log(r_) +
+                                              _safe_log(1 - w_) +
+                                              _safe_log(wo)) +
+                            w_ * (1 - val) * (_safe_log(r_) +
+                                              _safe_log(w_) +
+                                              _safe_log(1 - wo)) +
+                            (1 - w_) * (1 - val) * (_safe_log(1 - r_) +
+                                                    _safe_log(1 - w_) +
+                                                    _safe_log(1 - wo)) +
+                            w_ * val * (_safe_log(1 - r_) +
+                                        _safe_log(w_) + _safe_log(wo)))
+                    skew -= then - now
+                    if hc[m + ix]:
+                        gonext = hb[m + ix] / hc[m + ix]
+                        skew += 25000.0 if (gonext - w_) * (w_ - 0.5) < 0 \
+                            else 0.0
+                w = skew * 0.5
+                if not math.isfinite(w) or abs(w) > 25000:
+                    w = -25000.0 if w < -25000 else 25000.0
+                tmask = np.arange(self.cfg.numturns)
+                sel = (tmask & focal_bit) > 0
+                weights[b, m, sel] -= w * desc
+        return weights
+
+    # -- flip optimisation ----------------------------------------------
+    def _optimise_flips(self, dous, lo, hi, weights, chrom
+                        ) -> Optional[FlipCandidate]:
+        ped = self.ped
+        fams_static = []
+        for b, n in enumerate(dous):
+            members, exists = family_variables(ped, n)
+            _, f2i = ped.fixtrees(n)
+            allowed = np.array([t for t in range(self.cfg.numturns)
+                                if not (t & (f2i >> 1))])
+            w = np.clip(np.nan_to_num(weights[b, :, :],
+                                      nan=WEIGHT_CLAMP_LO,
+                                      posinf=WEIGHT_CLAMP_HI,
+                                      neginf=WEIGHT_CLAMP_LO),
+                        WEIGHT_CLAMP_LO, WEIGHT_CLAMP_HI)
+            fc = FamilyClauses(focal=n, members=members, exists=exists,
+                               turn_allowed=allowed, weights=w)
+            S, _, varlist = pattern_scores(fc)
+            fams_static.append((varlist, S))
+
+        cands: List[FlipCandidate] = []
+        for m in range(hi - lo - 1):
+            fams = [(varlist, S[m]) for varlist, S in fams_static]
+            # quick skip: no family has a positive-gain pattern
+            if all(S[m].max() <= S[m][0] + 1e-12 for _, S in fams_static):
+                continue
+            assign = solve_marker(fams)
+            if not assign:
+                continue
+            cands.extend(extract_candidates(fams, assign, lo + m))
+        return select_winner(cands)
+
+    # -- parameter updates ----------------------------------------------
+    def _process_infprobs(self, ids, infacc, scalefactor) -> int:
+        """processinfprobs over all individuals (cnF2freq.cpp:4179-4323,
+        call site 6344-6368)."""
+        import jax.numpy as jnp
+        ped = self.ped
+        NI, M = infacc.shape[:2]
+        md = np.stack([ped.by_id(n).markerdata for n in ids])
+        msu = np.stack([ped.by_id(n).markersure for n in ids])
+        prior = np.stack([ped.by_id(n).priormarkerdata
+                          if ped.by_id(n).has_prior else
+                          np.zeros((M, 2), dtype=np.int32) for n in ids])
+        priorsure = np.stack([ped.by_id(n).priormarkersure
+                              if ped.by_id(n).has_prior else
+                              np.zeros((M, 2)) for n in ids])
+        has_prior = np.array([ped.by_id(n).has_prior for n in ids])
+        children = np.array([ped.by_id(n).children for n in ids])
+
+        res = update_infprobs(jnp.asarray(infacc), jnp.asarray(md),
+                              jnp.asarray(msu), jnp.asarray(prior),
+                              jnp.asarray(priorsure),
+                              jnp.asarray(has_prior), jnp.asarray(children),
+                              self.params, scalefactor)
+        newp = np.asarray(res.newprob)
+        live = infacc > 0
+        for i, n in enumerate(ids):
+            ind = ped.by_id(n)
+            if ind.empty or not ind.has_prior:
+                continue
+            for side in range(2):
+                probs = newp[i, :, side, :]
+                lv = live[i, :, side, :]
+                anym = lv.any(axis=-1)
+                if not anym.any():
+                    continue
+                # best candidate; side 1 breaks ties toward allele 2
+                pick = np.where(lv, probs, -np.inf)
+                if side == 1:
+                    best = np.where(pick[:, 1] >= pick[:, 0] - 1e-30, 1, 0)
+                else:
+                    best = np.where(pick[:, 1] > pick[:, 0], 1, 0)
+                bestp = pick[np.arange(M), best]
+                take = anym & np.isfinite(bestp)
+                ind.markerdata[take, side] = best[take] + 1
+                ind.markersure[take, side] = 1.0 - bestp[take]
+        return int(res.hits)
+
+    def _update_haploweights(self, ids, haplobase, haplocount,
+                             scalefactor) -> int:
+        import jax.numpy as jnp
+        ped = self.ped
+        NI, M = haplobase.shape
+        hw = np.stack([ped.by_id(n).haploweight for n in ids])
+        md = np.stack([ped.by_id(n).markerdata for n in ids])
+        msu = np.stack([ped.by_id(n).markersure for n in ids])
+        desc = np.array([ped.by_id(n).descendants for n in ids])
+        children = np.array([ped.by_id(n).children for n in ids])
+        lastinv = np.array([any(li != -1 for li in ped.by_id(n).lastinved)
+                            for n in ids])
+        if self.cfg.relskews:
+            rh = np.stack([ped.by_id(n).relhaplo for n in ids])
+            relterm = np.zeros_like(hw)
+            for c in range(ped.num_chromosomes):
+                lo, hi = ped.chromosome_range(c)
+                relterm[:, lo:hi] = np.asarray(
+                    relskew_ratio(jnp.asarray(hw[:, lo:hi]),
+                                  jnp.asarray(rh[:, lo:hi])))
+        else:
+            relterm = np.full_like(hw, 0.5)
+
+        active = (hw > 0) & (hw < 1)
+        anyinfo = np.zeros_like(active)
+        for c in range(ped.num_chromosomes):
+            lo, hi = ped.chromosome_range(c)
+            anyinfo[:, lo:hi] = (haplocount[:, lo:hi] > 0).any(
+                axis=1, keepdims=True)
+        active &= anyinfo
+
+        res = update_haploweights(jnp.asarray(hw), jnp.asarray(haplobase),
+                                  jnp.asarray(haplocount), jnp.asarray(md),
+                                  jnp.asarray(msu), jnp.asarray(relterm),
+                                  jnp.asarray(desc), jnp.asarray(children),
+                                  jnp.asarray(lastinv), jnp.asarray(active),
+                                  self.params, scalefactor)
+        newhw = np.asarray(res.haploweight)
+        for i, n in enumerate(ids):
+            ped.by_id(n).haploweight[:] = newhw[i]
+        return int(res.hits)
+
+    def _adapt_scalefactor(self, any_inv: bool, hitnnn: int, ndous: int):
+        """cnF2freq.cpp:6333-6392."""
+        st = self.state
+        old_sf = st.scalefactor
+        badhit = hitnnn > max(st.oldhitnnn, st.oldhitnnn2)
+        if badhit:
+            st.scalefactor /= 1.1
+        goodhit = hitnnn < max(min(st.oldhitnnn, st.oldhitnnn2),
+                               ndous // self.cfg.turnbits) * 0.99
+        if goodhit:
+            st.scalefactor *= 1.21
+        st.scalefactor *= 0.997
+        if any_inv:
+            st.scalefactor = old_sf
+        else:
+            st.oldhitnnn2 = st.oldhitnnn
+            st.oldhitnnn = hitnnn
+
+    # ------------------------------------------------------------------
+    def run(self, iterations: int):
+        """The reference main loop (cnF2freq.cpp:8127-8195): iteration 0
+        only dumps state, later iterations run doit."""
+        logs = []
+        for i in range(iterations):
+            self.state.early = i < 1
+            if not self.state.early:
+                logs.append(self.iterate())
+        return logs
+
+
+def _dosureval(what, entry):
+    """cnF2freq.cpp:3082-3097."""
+    count, prob = entry
+    if prob == 0:
+        return 0.0
+    v = math.log(prob) / what * 4.0
+    v = math.exp(v)
+    return v / (1.0 + v)
+
+
+def _safe_log(x):
+    return math.log(x) if x > 0 else -745.0

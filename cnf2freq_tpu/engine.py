@@ -1,0 +1,63 @@
+"""Fused device engine: one chromosome scan as a single jittable function.
+
+Everything the reference computes per (chromosome, iteration) with its
+OpenMP probe loops — total likelihoods, haplotype/genotype update
+statistics, turn scores, genotype-pair posteriors — as one XLA program
+over [B, M, ...] tensors.  This is the unit that gets jit-compiled,
+sharded over a device mesh, and benchmarked.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig, RuntimeParams
+from .hmm.emission import assemble_e_all, build_blocks
+from .hmm.family import FamilyBatch
+from .hmm.forward_backward import combined_loglik, forward_backward
+from .hmm.probes import (haplo_stats, infprob_stats, posterior_weight,
+                         turn_scores)
+
+
+class ScanResult(NamedTuple):
+    total: jnp.ndarray        # [B] combined log-likelihoods
+    haplo_b12: jnp.ndarray    # [B, M, 7, 2]
+    haplo_mask: jnp.ndarray   # [B, M, 7] bool
+    inf_accum: jnp.ndarray    # [B, M, 7, 2, 2]
+    pair: jnp.ndarray         # [B, M, 2, 2]
+    turn_weight: jnp.ndarray  # [B, M, T]
+
+
+def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
+                    params: RuntimeParams,
+                    with_infprobs: bool = True) -> ScanResult:
+    blocks = build_blocks(fb, cfg, dtype=fb.ms.dtype)
+    e = assemble_e_all(blocks, cfg)
+    fbres = forward_backward(e, dists, cfg, params)
+    total = combined_loglik(fbres, fb.shiftignore)
+    W = posterior_weight(fbres, total, fb.shiftignore)
+    hs = haplo_stats(W, blocks, fb, cfg)
+    if with_infprobs:
+        ist = infprob_stats(W, blocks, fb, cfg)
+        inf_accum, pair = ist.accum, ist.pair
+    else:
+        B, M = fb.md.shape[0], fb.md.shape[2]
+        inf_accum = jnp.zeros((B, M, cfg.numslots, 2, 2), dtype=e.dtype)
+        pair = jnp.zeros((B, M, 2, 2), dtype=e.dtype)
+    ts = turn_scores(fbres, fb, cfg)
+    return ScanResult(total=total, haplo_b12=hs.b12, haplo_mask=hs.mask,
+                      inf_accum=inf_accum, pair=pair,
+                      turn_weight=ts.weight)
+
+
+def make_jitted_scan(cfg: ModelConfig, params: RuntimeParams,
+                     with_infprobs: bool = True):
+    @jax.jit
+    def run(fb: FamilyBatch, dists):
+        return chromosome_scan(fb, dists, cfg, params, with_infprobs)
+
+    return run

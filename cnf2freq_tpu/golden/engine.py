@@ -79,6 +79,11 @@ class GoldenEngine:
         self.params = params or RuntimeParams()
         self.correction_inference = False
         self.hooks = Hooks()
+        self._ecache = {}
+
+    def clear_cache(self):
+        """Invalidate cached emissions after mutating pedigree data."""
+        self._ecache.clear()
 
     # ------------------------------------------------------------------
     # Emission recursion
@@ -220,10 +225,16 @@ class GoldenEngine:
     def emission(self, ind: Individual, marker: int, shift: int,
                  flag2: int = -1) -> np.ndarray:
         """Per-state emission weights; flag2==-1 sums over all paths."""
+        key = (ind.n, marker, shift, flag2, self.correction_inference)
+        hit = self._ecache.get(key)
+        if hit is not None:
+            return hit
         cfg = self.cfg
-        return np.array([
+        out = np.array([
             self.calltrackpossible(ind, marker, g, flag2, shift)
             for g in range(cfg.numtypes)])
+        self._ecache[key] = out
+        return out
 
     def adjustprobs(self, ind: Individual, probs: np.ndarray, marker: int,
                     factor: float, shift: int, flag2: int = -1

@@ -329,32 +329,74 @@ def root_block(focal: SlotData, update: int = 0, zp: int = ZP_NONE,
 # ---------------------------------------------------------------------------
 # Assembly
 # ---------------------------------------------------------------------------
+class EmissionBlocks(NamedTuple):
+    """Factored emission: everything needed to assemble E tensors or to run
+    posterior contractions without materialising the path axis."""
+
+    froot: jnp.ndarray       # [b, m, r0(2), s0(2)]
+    top: jnp.ndarray         # [b, m, r0(2), s0(2)] focal-as-top variant
+    pb: Tuple[jnp.ndarray, jnp.ndarray]  # [b, m, r0, fp(8), fpath(8), sk(2)]
+    focal_attop: jnp.ndarray  # [b] bool
+    side: int = 0
+
+
+def build_blocks(fb: FamilyBatch, cfg: ModelConfig, ci: bool = False,
+                 update: int = 0, zp: int = ZP_NONE, inval=None, insv=None,
+                 side: int = 0, dtype=jnp.float64) -> EmissionBlocks:
+    """Compute the factored emission blocks for one probe variant."""
+    assert cfg.numgen == 3, "numgen==2 engine lands with the config matrix"
+    focal = slot_data(fb, 0)
+    rb = root_block(focal, update=update, zp=zp, ci=ci,
+                    haplotyping=cfg.haplotyping, inval=inval, insv=insv,
+                    side=side, dtype=dtype)
+    genos = bool(update & GENOS)
+    pbs = []
+    for k in range(2):
+        par = slot_data(fb, cfg.parent_slot(k))
+        gps = [slot_data(fb, cfg.grandparent_slot(k, j)) for j in range(2)]
+        # the continuing branch (bound focal value) feeds parent `side`,
+        # the second branch the other parent; vA/svA etc. carry the r0 axis
+        first = (k == side)
+        vk, svk = (rb.vA, rb.svA) if first else (rb.vB, rb.svB)
+        if genos and not first:
+            # GENOS updates never trace the second branch at the root
+            # (cnF2freq.cpp:1291): that parent contributes factor 1
+            B, M = fb.md.shape[0], fb.md.shape[2]
+            pbs.append(jnp.ones((B, M, 2, 8, 8, 2), dtype=dtype) *
+                       _canonical_only(dtype))
+            continue
+        pbs.append(parent_block(par, gps[0], gps[1], vk, svk, zp=zp, ci=ci,
+                                haplotyping=cfg.haplotyping,
+                                trace_second=not genos, pathful=True))
+    return EmissionBlocks(froot=rb.froot, top=rb.top, pb=tuple(pbs),
+                          focal_attop=fb.attop[:, 0], side=side)
+
+
+def _canonical_only(dtype):
+    """[8]->broadcastable fpath weight keeping only the all-zero path for a
+    branch the recursion never enters."""
+    w = np.zeros((8,), dtype=np.dtype(str(dtype)))
+    w[0] = 1.0
+    return jnp.asarray(w)[None, None, None, None, :, None]
+
+
+def assemble_e_all(blocks: EmissionBlocks, cfg: ModelConfig) -> jnp.ndarray:
+    """E_all[b, m, g, s] from factored blocks (path axes summed)."""
+    s0 = blocks.pb[0].sum(axis=-2)
+    s1 = blocks.pb[1].sum(axis=-2)
+    e = jnp.einsum("...rt,...rau,...rbv->...bavut", blocks.froot, s0, s1)
+    B, M = e.shape[:2]
+    e = e.reshape(B, M, cfg.numtypes, cfg.numshifts)
+    tops = blocks.top.sum(axis=-2)  # sum over r0 -> [b, m, s0]
+    tops = jnp.tile(tops[:, :, None, :], (1, 1, cfg.numtypes, 4)).reshape(
+        B, M, cfg.numtypes, cfg.numshifts)
+    focal_attop = blocks.focal_attop[:, None, None, None]
+    return jnp.where(focal_attop, tops, e)
+
+
 def emission_all(fb: FamilyBatch, cfg: ModelConfig, ci: bool = False,
                  dtype=jnp.float64) -> jnp.ndarray:
     """E_all[b, m, g, s]: per-state, per-shift emission summed over all
     interpretation paths — the quantity the forward-backward sweeps use
     (adjustprobs with flag2 == -1, cnF2freq.cpp:1579-1670)."""
-    assert cfg.numgen == 3, "numgen==2 engine lands with the config matrix"
-    focal = slot_data(fb, 0)
-    rb = root_block(focal, ci=ci, haplotyping=cfg.haplotyping, dtype=dtype)
-    blocks = []
-    for k in range(2):
-        par = slot_data(fb, cfg.parent_slot(k))
-        gps = [slot_data(fb, cfg.grandparent_slot(k, j)) for j in range(2)]
-        # the continuing branch (bound focal value) feeds parent 0, the
-        # second branch (other focal allele) parent 1; vA/svA etc. already
-        # carry the per-r0 axis
-        vk, svk = (rb.vA, rb.svA) if k == 0 else (rb.vB, rb.svB)
-        blocks.append(parent_block(par, gps[0], gps[1], vk, svk,
-                                   ci=ci, haplotyping=cfg.haplotyping))
-    # blocks[k]: [b, m, r0, fp, sk]; froot: [b, m, r0, s0]
-    e = jnp.einsum("...rt,...rau,...rbv->...bavut",
-                   rb.froot, blocks[0], blocks[1])
-    B, M = e.shape[:2]
-    e = e.reshape(B, M, cfg.numtypes, cfg.numshifts)
-    # founder focal: the walk stops at the focal term itself
-    tops = rb.top.sum(axis=-2)  # sum over r0 -> [b, m, s0]
-    tops = jnp.tile(tops[:, :, None, :], (1, 1, cfg.numtypes, 4)).reshape(
-        B, M, cfg.numtypes, cfg.numshifts)
-    focal_attop = fb.attop[:, 0][:, None, None, None]
-    return jnp.where(focal_attop, tops, e)
+    return assemble_e_all(build_blocks(fb, cfg, ci=ci, dtype=dtype), cfg)

@@ -1,0 +1,332 @@
+"""Posterior probes and update statistics.
+
+The reference's dominant cost is its probe loop: for every (marker, state,
+path, shift) it re-runs a forward-backward combine plus emission recursions
+to accumulate update statistics (doit, cnF2freq.cpp:5406-5577).  With the
+emission factored into per-slot blocks (emission.py) every one of those
+statistics is a small tensor contraction against a posterior weight tensor
+
+    W[b, m, g, s] = fw_pre * bw * exp(fw_pre_f + bw_f - total)
+
+so the whole loop collapses into a handful of einsums per chromosome.
+
+Conventions: the flattened state axis g decomposes into (fp1, fp0) and the
+shift axis s into (s2, s1, s0); path bits are summed inside blocks with
+canonical masks from flag2ignore.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MINFACTOR, ModelConfig
+from .emission import EmissionBlocks
+from .family import FamilyBatch
+from .forward_backward import FBResult
+
+# static indicator tables ----------------------------------------------------
+_FP = np.arange(8)
+_FPATH = np.arange(8)
+_SK = np.arange(2)
+_J = np.arange(2)
+
+# parent phase bit: rp ^ p0 ^ sk  (rp = fpath bit0, p0 = fp bit0)
+_IND_PARENT = ((( _FPATH[None, :, None, None] & 1)
+                ^ (_FP[:, None, None, None] & 1)
+                ^ _SK[None, None, :, None]) == _J[None, None, None, :])
+# grandparent j phase bit: rg_j ^ gb_j (fpath bit 1+j, fp bit 1+j)
+_IND_GP = [((((_FPATH[None, :, None, None] >> (1 + j)) & 1)
+             ^ ((_FP[:, None, None, None] >> (1 + j)) & 1))
+            == _J[None, None, None, :]) & (_SK[None, None, :, None] >= 0)
+           for j in range(2)]
+# focal phase bit: r0 ^ s0
+_R0 = np.arange(2)
+_S0 = np.arange(2)
+_IND_FOCAL = ((_R0[:, None, None] ^ _S0[None, :, None]) == _J[None, None, :])
+
+
+def posterior_weight(fbres: FBResult, total: jnp.ndarray,
+                     shiftignore: jnp.ndarray) -> jnp.ndarray:
+    """W[b, m, g, s]: the per-(state, shift) weight that multiplies E_f[g]
+    to give the posterior of a (state, path, shift) probe."""
+    NS = fbres.fw_pre_f.shape[-1]
+    allowed = (jnp.arange(NS)[None, :] & shiftignore[:, None]) == 0
+    logw = fbres.fw_pre_f + fbres.bw_f - total[:, None, None]
+    logw = jnp.where(allowed[:, None, :], logw, MINFACTOR)
+    return fbres.fw_pre * fbres.bw * jnp.exp(logw)[:, :, None, :]
+
+
+def _w_bits(W: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Reshape W[b,m,64,8] to bit axes [b,m,fp1,fp0,s2,s1,s0]."""
+    B, M = W.shape[:2]
+    return W.reshape(B, M, 8, 8, 2, 2, 2)
+
+
+def _valid_paths(flag2ignore: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[b, fpath(8)] canonical-path mask for parent k's local path bits
+    (flag2 bits 1+3k .. 3+3k)."""
+    f2 = (flag2ignore[:, None] >> (1 + 3 * k)) & 7
+    return (np.arange(8)[None, :] & f2) == 0
+
+
+class HaploStats(NamedTuple):
+    """b1/b2 accumulations per family slot (the threadprivate ``haplos``
+    store, cnF2freq.cpp:379, 1347-1350) plus the per-slot mask of slots
+    that actually receive updates."""
+
+    b12: jnp.ndarray    # [b, m, slot(7), 2]
+    mask: jnp.ndarray   # [b, m, slot(7)] bool
+
+
+def haplo_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
+                cfg: ModelConfig, ci: bool = False) -> HaploStats:
+    """Posterior-weighted phase-interpretation counts per slot: the exact
+    tensor form of summing updatehaplo over all (q, g, flag2, shift) probes
+    (cnF2freq.cpp:5556, 1561-1575)."""
+    Wr = _w_bits(W, cfg)
+    froot, pb = blocks.froot, blocks.pb
+    V = [_valid_paths(fb.flag2ignore, k).astype(W.dtype) for k in range(2)]
+    IND_P = jnp.asarray(_IND_PARENT, dtype=W.dtype)
+    IND_G = [jnp.asarray(x, dtype=W.dtype) for x in _IND_GP]
+
+    # path-summed blocks under the canonical mask
+    pbs = [jnp.einsum("zmrfps,zp->zmrfs", pb[k], V[k]) for k in range(2)]
+
+    stats = []
+    # focal (slot 0)
+    INDF = jnp.asarray(_IND_FOCAL, dtype=W.dtype)
+    stats.append(jnp.einsum("zmrt,zmrau,zmrbv,zmbavut,rtj->zmj",
+                            froot, pbs[0], pbs[1], Wr, INDF))
+    for k in range(2):
+        o = 1 - k
+        # parent k phase-resolved block
+        ph_p = jnp.einsum("zmrfps,zp,fpsj->zmrfsj", pb[k], V[k], IND_P)
+        ops = (froot, ph_p, pbs[o], Wr)
+        if k == 0:
+            par = jnp.einsum("zmrt,zmrauj,zmrbv,zmbavut->zmj", *ops)
+        else:
+            par = jnp.einsum("zmrt,zmrbvj,zmrau,zmbavut->zmj", *ops)
+        stats.append(par)
+        for j in range(2):
+            ph_g = jnp.einsum("zmrfps,zp,fpsj->zmrfsj", pb[k], V[k],
+                              IND_G[j])
+            if k == 0:
+                gp = jnp.einsum("zmrt,zmrauj,zmrbv,zmbavut->zmj",
+                                froot, ph_g, pbs[o], Wr)
+            else:
+                gp = jnp.einsum("zmrt,zmrbvj,zmrau,zmbavut->zmj",
+                                froot, ph_g, pbs[o], Wr)
+            stats.append(gp)
+    # reorder from [focal, p0, gp00, gp01, p1, gp10, gp11] — already the
+    # slot layout
+    b12 = jnp.stack(stats, axis=2)  # [b, m, 7, 2]
+
+    # which slots actually receive updates: visited, existing, and not in
+    # the duplicate-allele collapse branch (doupdatehaplo,
+    # cnF2freq.cpp:1224-1252)
+    collapse = (fb.md[..., 0] == fb.md[..., 1]) & \
+        (ci | (fb.ms[..., 0] == fb.ms[..., 1]))     # [b, slot, m]
+    collapse = jnp.moveaxis(collapse, 1, 2)          # [b, m, slot]
+    exists = fb.exists[:, None, :]
+    focal_attop = fb.attop[:, 0][:, None, None]
+    par_vis = exists & ~focal_attop
+    slot_vis = [jnp.ones_like(par_vis[..., 0:1], dtype=bool)]
+    for k in range(2):
+        ps = cfg.parent_slot(k)
+        pv = par_vis[..., ps:ps + 1]
+        slot_vis.append(pv)
+        pat = fb.attop[:, ps][:, None, None]
+        for j in range(2):
+            gs = cfg.grandparent_slot(k, j)
+            slot_vis.append(pv & ~pat & exists[..., gs:gs + 1])
+    vis = jnp.concatenate(slot_vis, axis=-1)
+    mask = vis & exists & ~collapse
+    return HaploStats(b12=b12, mask=mask)
+
+
+class TurnScores(NamedTuple):
+    """Per-marker log-likelihoods of tail phase-flip hypotheses."""
+
+    raw: jnp.ndarray      # [b, m, turns(128), NS] log-domain
+    weight: jnp.ndarray   # [b, m, turns(128)] clause weights (pre-clamp)
+
+
+def turn_scores(fbres: FBResult, fb: FamilyBatch, cfg: ModelConfig,
+                total_desc_scale: bool = True) -> TurnScores:
+    """aroundturner probes for all turn masks at once
+    (cnF2freq.cpp:5686-5752, evaluation semantics of aroundturner at
+    cnF2freq.cpp:498-554): the probability of XOR-ing grandparent state
+    bits and flipping shift modes from marker m to the chromosome end.
+
+    raw[b,m,t,s] = log sum_g fw_post[b,m,g,s] * bw[b,m,g^ts(t), s^flip(t)]
+                   + fw_post_f[b,m,s] + bw_f[b,m,s^flip(t)]
+    """
+    B, M, S, NS = fbres.fw_post.shape
+    masks = []
+    for t in range(cfg.numturns):
+        masks.append((t & cfg.turn_state_mask, cfg.turn_shift_flip(t)))
+    uniq_x = sorted({x for x, _ in masks})
+    xinv = {x: i for i, x in enumerate(uniq_x)}
+    # per unique xor mask: contract fw_post against the state-permuted
+    # backward vector (one [B,M,NS,NS] slab at a time to bound memory)
+    C_parts = []
+    for x in uniq_x:
+        bw_x = fbres.bw[:, :, np.arange(S) ^ x, :]
+        C_parts.append(jnp.einsum("bmgs,bmgt->bmst", fbres.fw_post, bw_x))
+    C = jnp.stack(C_parts, axis=2)                            # [B,M,X,S,S']
+    # assemble per turn: value + factors, log domain
+    tiny = jnp.asarray(1e-300, dtype=C.dtype)
+    out = []
+    for t, (x, flip) in enumerate(masks):
+        c = C[:, :, xinv[x], :, :]                            # [B,M,NS,NS']
+        s = np.arange(NS)
+        c_t = c[:, :, s, s ^ flip]                            # [B,M,NS]
+        val = jnp.log(jnp.maximum(c_t, tiny)) + fbres.fw_post_f \
+            + fbres.bw_f[:, :, s ^ flip]
+        val = jnp.where(c_t > 0, val, MINFACTOR)
+        out.append(val)
+    raw = jnp.stack(out, axis=2)                              # [B,M,T,NS]
+
+    # clause weights: per-turn log-sum-exp over allowed shifts minus the
+    # no-flip normaliser, scaled by descendants (computew,
+    # cnF2freq.cpp:5791-5809)
+    shifts = jnp.arange(NS)
+    allowed = ((shifts[None, :] & fb.shiftignore[:, None]) == 0)
+    rawm = jnp.where(allowed[:, None, None, :], raw, MINFACTOR)
+    mx = rawm.max(axis=-1)
+    lse = mx + jnp.log(jnp.sum(jnp.exp(rawm - mx[..., None]), axis=-1))
+    w = lse - lse[:, :, 0:1]
+    if total_desc_scale:
+        w = w * fb.descendants[:, None, None]
+    return TurnScores(raw=raw, weight=w)
+
+
+# ---------------------------------------------------------------------------
+# Genotype-probability probes (GENOSPROBE / GENOS machinery)
+# ---------------------------------------------------------------------------
+class InfprobStats(NamedTuple):
+    """Posterior-weighted candidate-allele statistics: the tensor form of
+    the GENOSPROBE sideval probes plus GENOS accumulation along the traced
+    branch (doit, cnF2freq.cpp:5517-5568; hooks cnF2freq.cpp:1351-1354)."""
+
+    accum: jnp.ndarray   # [b, m, slot(7), allele-slot(2), mv(2)]
+    pair: jnp.ndarray    # [b, m, 2, 2] joint P(slot0=mv0, slot1=mv1)
+
+
+def _share_blocks(fb: FamilyBatch, cfg: ModelConfig, side: int, mv: int,
+                  ci: bool, dtype):
+    """U[b,m,r',fp,fpath,s0,sk] for the side-branch of a GENOSPROBE with
+    root value mv; factors common to both mv cancel in the share ratio."""
+    from .emission import parent_block, root_block, slot_data
+    focal = slot_data(fb, 0)
+    B, M = fb.md.shape[0], fb.md.shape[2]
+    inval = jnp.full((B, M), mv, dtype=jnp.int32)
+    rb = root_block(focal, ci=ci, haplotyping=cfg.haplotyping, inval=inval,
+                    side=side, dtype=dtype)
+    par = slot_data(fb, cfg.parent_slot(side))
+    gps = [slot_data(fb, cfg.grandparent_slot(side, j)) for j in range(2)]
+    pbp = parent_block(par, gps[0], gps[1], rb.vA, rb.svA, ci=ci,
+                       haplotyping=cfg.haplotyping, pathful=True)
+    # U axes: [b, m, r', fp, fpath, s0, sk]
+    return rb.froot[:, :, :, None, None, :, None] * \
+        pbp[:, :, :, :, :, None, :]
+
+
+def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
+                  cfg: ModelConfig, ci: bool = False) -> InfprobStats:
+    """For every (b, m): the GENOS accumulator additions per family slot,
+    allele slot and candidate allele, plus the joint ordered-genotype
+    posterior.
+
+    The share ratio sideval/sidevalsum depends only on the probed branch's
+    own enum bits (the untraced branch cancels), so it is a small tensor
+    U_mv / sum_mv U_mv over [r, fp, fpath, s0, sk] — no (g, f, s)
+    materialisation."""
+    dtype = W.dtype
+    Wr = _w_bits(W, cfg)
+    froot, pb = blocks.froot, blocks.pb
+    V = [_valid_paths(fb.flag2ignore, k).astype(dtype) for k in range(2)]
+    PB = [pb[k] * V[k][:, None, None, None, :, None] for k in range(2)]
+
+    # share tensors per (side, mv), aligned to the standard probe's r axis
+    shares = {}
+    for side in range(2):
+        us = [_share_blocks(fb, cfg, side, mv, ci, dtype) for mv in (1, 2)]
+        den = us[0] + us[1]
+        for i, mv in enumerate((1, 2)):
+            sh = jnp.where(den > 0, us[i] / jnp.where(den > 0, den, 1.0),
+                           0.0)
+            if side == 1:
+                sh = sh[:, :, ::-1]      # align r' = 1 - r to the r axis
+            shares[(side, mv)] = sh
+
+    bits = np.arange(8)
+    w2 = np.arange(2)
+    RP = ((bits[:, None] & 1) == w2[None, :]).astype(np.float64)  # [p, w]
+    RGSEL = []   # [j][a(fp bits), p(fpath bits), w] target for gp (side,j)
+    for j in range(2):
+        psel = ((bits[:, None, None] & 1) == j)          # p0 == j on fp
+        tgt = (((bits[None, :, None] >> (1 + j)) & 1) == w2[None, None, :])
+        RGSEL.append((psel & tgt).astype(np.float64))
+    RP = jnp.asarray(RP, dtype=dtype)
+    RGSEL = [jnp.asarray(x, dtype=dtype) for x in RGSEL]
+
+    # per-slot, per-allele-slot, per-mv accumulations
+    out = {s: jnp.zeros(W.shape[:2] + (2, 2), dtype=dtype)
+           for s in range(cfg.numslots)}
+    for mvi, mv in enumerate((1, 2)):
+        # side 0: traced branch is parent 0 (letters: a=fp0, p=fpath0,
+        # u=s1; untraced b=fp1, q=fpath1, v=s2; t=s0)
+        G0 = jnp.einsum("zmrapu,zmraptu->zmraptu",
+                        PB[0][..., :, :, :], shares[(0, mv)])
+        nf0 = jnp.einsum("zmrt,zmraptu,zmrbqv,zmbavut->zmr",
+                         froot, G0, PB[1], Wr)
+        np0 = jnp.einsum("zmrt,zmraptu,zmrbqv,zmbavut,pw->zmw",
+                         froot, G0, PB[1], Wr, RP)
+        ng = [jnp.einsum("zmrt,zmraptu,zmrbqv,zmbavut,apw->zmw",
+                         froot, G0, PB[1], Wr, RGSEL[j]) for j in range(2)]
+        out[0] = out[0].at[..., :, mvi].add(
+            jnp.stack([nf0[..., 0], nf0[..., 1]], axis=-1))
+        out[cfg.parent_slot(0)] = \
+            out[cfg.parent_slot(0)].at[..., :, mvi].add(np0)
+        for j in range(2):
+            out[cfg.grandparent_slot(0, j)] = \
+                out[cfg.grandparent_slot(0, j)].at[..., :, mvi].add(ng[j])
+
+        # side 1: traced branch is parent 1
+        G1 = jnp.einsum("zmrbqv,zmrbqtv->zmrbqtv",
+                        PB[1], shares[(1, mv)])
+        nf1 = jnp.einsum("zmrt,zmrbqtv,zmrapu,zmbavut->zmr",
+                         froot, G1, PB[0], Wr)
+        np1 = jnp.einsum("zmrt,zmrbqtv,zmrapu,zmbavut,qw->zmw",
+                         froot, G1, PB[0], Wr, RP)
+        ng1 = [jnp.einsum("zmrt,zmrbqtv,zmrapu,zmbavut,bqw->zmw",
+                          froot, G1, PB[0], Wr, RGSEL[j]) for j in range(2)]
+        # focal allele-slot for side 1 is 1 - r
+        out[0] = out[0].at[..., :, mvi].add(
+            jnp.stack([nf1[..., 1], nf1[..., 0]], axis=-1))
+        out[cfg.parent_slot(1)] = \
+            out[cfg.parent_slot(1)].at[..., :, mvi].add(np1)
+        for j in range(2):
+            out[cfg.grandparent_slot(1, j)] = \
+                out[cfg.grandparent_slot(1, j)].at[..., :, mvi].add(ng1[j])
+
+    accum = jnp.stack([out[s] for s in range(cfg.numslots)], axis=2)
+
+    # joint ordered-genotype posterior (the PlantImpute output table rows,
+    # demo.sh:30-31): both sides' shares applied to the same posterior mass
+    pairs = []
+    for mv0 in (1, 2):
+        row = []
+        for mv1 in (1, 2):
+            row.append(jnp.einsum(
+                "zmrt,zmraptu,zmrbqtv,zmrapu,zmrbqv,zmbavut->zm",
+                froot, shares[(0, mv0)], shares[(1, mv1)],
+                PB[0], PB[1], Wr))
+        pairs.append(jnp.stack(row, axis=-1))
+    pair = jnp.stack(pairs, axis=-2)     # [b, m, mv0, mv1]
+    return InfprobStats(accum=accum, pair=pair)

@@ -1,0 +1,72 @@
+"""Transition model: recombination over (Z_2)^typebits.
+
+The reference builds, per marker interval, a per-xor-mask weight table and
+applies a dense S x S update ``probs2[to] += probs[from] * R[from ^ to]``
+(cnF2freq.cpp:2276-2364).  An xor-kernel convolution diagonalises under the
+Walsh-Hadamard transform, so on TPU we apply it as two S x S matmuls with a
+*shared* Hadamard matrix (MXU-friendly, no per-interval matrices) around a
+per-interval elementwise scale:
+
+    p' = H ( (H p) * what ) / S,   what[idx] = prod_t (1 - 2 r_t)^bit_t(idx)
+
+which is exact (the kernel's WHT has the closed form above because each bit
+contributes an independent stay/switch factor).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, RuntimeParams
+
+
+@lru_cache(maxsize=8)
+def hadamard(nbits: int, dtype_name: str = "float64") -> np.ndarray:
+    h = np.array([[1.0]], dtype=np.dtype(dtype_name))
+    one = np.array([[1, 1], [1, -1]], dtype=np.dtype(dtype_name))
+    for _ in range(nbits):
+        h = np.kron(h, one)
+    return h
+
+
+def interval_recomb(cfg: ModelConfig, params: RuntimeParams,
+                    dists) -> jnp.ndarray:
+    """Per-interval, per-meiosis-bit recombination probabilities
+    r[interval, typebits] = 0.5 (1 - exp(genrec * dist))
+    (cnF2freq.cpp:2286)."""
+    dists = jnp.asarray(dists)
+    genrec = jnp.asarray([params.genrec[g] for g in cfg.typegens])
+    return 0.5 * (1.0 - jnp.exp(genrec[None, :] * dists[:, None]))
+
+
+def transition_eigenvalues(cfg: ModelConfig, r: jnp.ndarray) -> jnp.ndarray:
+    """WHT eigenvalues what[interval, S] of the xor transition kernel."""
+    S = cfg.numtypes
+    idx = np.arange(S)
+    bits = ((idx[:, None] >> np.arange(cfg.typebits)[None, :]) & 1)  # [S, T]
+    lam = jnp.prod(jnp.where(bits[None, :, :] == 1,
+                             1.0 - 2.0 * r[:, None, :], 1.0), axis=-1)
+    return lam  # [intervals, S]
+
+
+def apply_transition(probs: jnp.ndarray, what: jnp.ndarray) -> jnp.ndarray:
+    """probs [..., S, NS] convolved with the kernel whose WHT is
+    what [..., S] (broadcast over the trailing shift axis)."""
+    S = probs.shape[-2]
+    H = jnp.asarray(hadamard(int(S).bit_length() - 1,
+                             str(probs.dtype)))
+    ph = jnp.einsum("gh,...hs->...gs", H, probs)
+    ph = ph * what[..., :, None]
+    return jnp.einsum("gh,...hs->...gs", H, ph) / S
+
+
+def transition_matrix(cfg: ModelConfig, r_row: jnp.ndarray) -> jnp.ndarray:
+    """Dense S x S matrix for one interval (reference-layout check path)."""
+    S = cfg.numtypes
+    idx = np.arange(S)
+    xor = idx[:, None] ^ idx[None, :]
+    bits = ((xor[..., None] >> np.arange(cfg.typebits)) & 1)
+    return jnp.prod(jnp.where(bits == 1, r_row, 1.0 - r_row), axis=-1)

@@ -1,0 +1,272 @@
+"""Native phase-flip optimiser.
+
+The reference encodes, per marker, one weighted clause per family flip
+pattern and ships the lot to an external toulbar2 MaxSAT subprocess, then
+extracts flip cliques and applies the best candidate per chromosome
+(cnF2freq.cpp:4742-5183, 5759-6181).  Here the same objective — pick a set
+of individuals whose phase is inverted from some marker onward, maximising
+the summed per-family turn log-likelihood gains — is solved natively:
+
+* per-family pattern scores come straight from the on-device turn tensors
+  (probes.turn_scores);
+* the per-marker joint optimisation over shared individuals is solved
+  exactly by enumeration on small connected components and by iterated
+  conditional modes on large ones;
+* candidate cliques across markers keep the reference's dominance/merge
+  semantics in simplified form (disjoint covers combine, best total wins).
+
+No subprocesses, no temp files; everything here is host-side numpy on tiny
+arrays (the heavy likelihood work already happened on device).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..config import ModelConfig
+from ..pedigree import Pedigree
+
+WEIGHT_CLAMP_LO = -1_000_000.0
+WEIGHT_CLAMP_HI = 25_000.0
+
+
+@dataclasses.dataclass
+class FamilyClauses:
+    """One focal individual's clause table at one chromosome."""
+
+    focal: int
+    members: Tuple[int, ...]     # variable ids per turn bit (0 = unused)
+    exists: Tuple[bool, ...]     # turn bit participates (dedup'd)
+    turn_allowed: np.ndarray     # [T] canonical turn masks
+    weights: np.ndarray          # [M, T] clause weights (log-gain units)
+
+
+def family_variables(ped: Pedigree, focal: int) -> Tuple[Tuple[int, ...],
+                                                         Tuple[bool, ...]]:
+    """Turn-bit -> individual mapping with first-occurrence dedup
+    (fillcandsexists, cnF2freq.cpp:4753-4822).  Bit order: parent0, gp00,
+    gp01, parent1, gp10, gp11, focal."""
+    cfg = ped.config
+    slots = ped.family_slots(focal)
+    order = [cfg.parent_slot(0), cfg.grandparent_slot(0, 0),
+             cfg.grandparent_slot(0, 1), cfg.parent_slot(1),
+             cfg.grandparent_slot(1, 0), cfg.grandparent_slot(1, 1), 0]
+    seen = {focal}
+    members = [0] * 7
+    exists = [False] * 7
+    members[6] = focal
+    exists[6] = True
+    for bit, slot in enumerate(order[:-1]):
+        sid = slots[slot]
+        if sid and sid not in seen:
+            seen.add(sid)
+            members[bit] = sid
+            exists[bit] = True
+        elif sid:
+            members[bit] = sid   # present but deduplicated
+    return tuple(members), tuple(exists)
+
+
+def pattern_scores(clauses: FamilyClauses) -> Tuple[np.ndarray, np.ndarray,
+                                                    List[int]]:
+    """Collapse turn masks to existing-bit patterns.
+
+    Returns (S[M, P], patterns[P] -> bit masks over the family's variable
+    list, varlist).  Multiple turn masks sharing an existing-bit pattern
+    sum their weights — the reference's multi-clause falsification
+    behaviour (computesumweight, cnF2freq.cpp:4824-4861)."""
+    varbits = [b for b in range(7) if clauses.exists[b]]
+    varlist = [clauses.members[b] for b in varbits]
+    P = 1 << len(varbits)
+    M, T = clauses.weights.shape
+    pat_of_turn = np.zeros(T, dtype=np.int64)
+    for t in range(T):
+        p = 0
+        for i, b in enumerate(varbits):
+            if (t >> b) & 1:
+                p |= 1 << i
+        pat_of_turn[t] = p
+    S = np.zeros((M, P))
+    np.add.at(S.T, pat_of_turn[clauses.turn_allowed],
+              clauses.weights[:, clauses.turn_allowed].T)
+    # patterns no canonical turn mask can produce (they would flip an
+    # empty/ignored member) are infeasible, not zero-cost
+    reachable = np.zeros(P, dtype=bool)
+    reachable[pat_of_turn[clauses.turn_allowed]] = True
+    S = np.where(reachable[None, :], S, -np.inf)
+    return S, np.arange(P), varlist
+
+
+def _components(fams: Sequence[Tuple[List[int], np.ndarray]]
+                ) -> List[List[int]]:
+    """Connected components of families sharing variables."""
+    parent: Dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for fi, (vars_, _) in enumerate(fams):
+        for v in vars_[1:]:
+            union(vars_[0], v)
+    groups: Dict[int, List[int]] = {}
+    for fi, (vars_, _) in enumerate(fams):
+        groups.setdefault(find(vars_[0]), []).append(fi)
+    return list(groups.values())
+
+
+def solve_marker(fams: Sequence[Tuple[List[int], np.ndarray]],
+                 exhaustive_limit: int = 14, icm_restarts: int = 4,
+                 rng: Optional[np.random.Generator] = None
+                 ) -> Dict[int, bool]:
+    """Best joint flip assignment for one marker.
+
+    fams: per family (variable ids, score-per-pattern vector S[P]).
+    Returns {individual: flipped} for flipped individuals only."""
+    rng = rng or np.random.default_rng(0)
+    assign: Dict[int, bool] = {}
+    for comp in _components(fams):
+        vset = sorted({v for fi in comp for v in fams[fi][0]})
+        vidx = {v: i for i, v in enumerate(vset)}
+        n = len(vset)
+        fam_masks = []
+        for fi in comp:
+            vars_, S = fams[fi]
+            fam_masks.append((np.array([vidx[v] for v in vars_]), S))
+        if n <= exhaustive_limit:
+            best_a, best_score = 0, -np.inf
+            for a in range(1 << n):
+                sc = 0.0
+                for pos, S in fam_masks:
+                    p = 0
+                    for i, vp in enumerate(pos):
+                        if (a >> vp) & 1:
+                            p |= 1 << i
+                    sc += S[p]
+                if sc > best_score:
+                    best_score, best_a = sc, a
+            for v, i in vidx.items():
+                if (best_a >> i) & 1:
+                    assign[v] = True
+        else:
+            best_vec, best_score = None, -np.inf
+            for r in range(icm_restarts):
+                vec = np.zeros(n, dtype=bool) if r == 0 else \
+                    rng.random(n) < 0.3
+                for _ in range(30):
+                    changed = False
+                    for i in range(n):
+                        sc = [0.0, 0.0]
+                        for flip in (False, True):
+                            vec[i] = flip
+                            for pos, S in fam_masks:
+                                if i not in pos:
+                                    continue
+                                p = 0
+                                for k, vp in enumerate(pos):
+                                    if vec[vp]:
+                                        p |= 1 << k
+                                sc[flip] += S[p]
+                        better = sc[1] > sc[0]
+                        if vec[i] != better:
+                            changed = True
+                        vec[i] = better
+                    if not changed:
+                        break
+                total = 0.0
+                for pos, S in fam_masks:
+                    p = 0
+                    for k, vp in enumerate(pos):
+                        if vec[vp]:
+                            p |= 1 << k
+                    total += S[p]
+                if total > best_score:
+                    best_score, best_vec = total, vec.copy()
+            for v, i in vidx.items():
+                if best_vec[i]:
+                    assign[v] = True
+    return assign
+
+
+@dataclasses.dataclass
+class FlipCandidate:
+    score: float                       # total log-gain (positive = good)
+    cover: Set[int]                    # individuals involved
+    flips: List[Tuple[int, int]]       # (individual, marker) pairs
+
+
+def extract_candidates(fams, assign: Dict[int, bool], marker: int
+                       ) -> List[FlipCandidate]:
+    """Group the marker solution into connected flip cliques and score each
+    (computecandcliques, cnF2freq.cpp:4880-4969)."""
+    # only families with at least one flipped member join a clique and
+    # contribute their matched-pattern weight (anyswitch,
+    # cnF2freq.cpp:4901-4958)
+    flipped = []
+    for fi, (vars_, S) in enumerate(fams):
+        p = 0
+        for i, v in enumerate(vars_):
+            if assign.get(v, False):
+                p |= 1 << i
+        if p:
+            flipped.append((vars_, S, p))
+    out: List[FlipCandidate] = []
+    for comp in _components([(v, S) for v, S, _ in flipped]):
+        score = 0.0
+        cover: Set[int] = set()
+        for fi in comp:
+            vars_, S, p = flipped[fi]
+            score += S[p]
+            cover.update(vars_)
+        flips = [(v, marker) for v in sorted(cover) if assign.get(v, False)]
+        out.append(FlipCandidate(score=score, cover=cover, flips=flips))
+    return out
+
+
+def select_winner(cands: List[FlipCandidate],
+                  min_gain: float = 1e-6) -> Optional[FlipCandidate]:
+    """Across-marker selection: combine disjoint-cover candidates (the
+    mergebestcands idea, cnF2freq.cpp:5097-5183) and return the best
+    combined candidate with positive gain."""
+    cands = [c for c in cands if c.score > min_gain]
+    if not cands:
+        return None
+    cands.sort(key=lambda c: -c.score)
+    chosen: List[FlipCandidate] = []
+    used: Set[int] = set()
+    for c in cands:
+        if used & c.cover:
+            continue
+        chosen.append(c)
+        used |= c.cover
+    return FlipCandidate(score=sum(c.score for c in chosen),
+                         cover=set().union(*(c.cover for c in chosen)),
+                         flips=[f for c in chosen for f in c.flips])
+
+
+def apply_flips(ped: Pedigree, winner: FlipCandidate, chrom: int,
+                haplobase=None, haplocount=None,
+                ind_index: Optional[Dict[int, int]] = None):
+    """negshifter (cnF2freq.cpp:3437-3460): invert haplotype weights (and
+    the accumulated statistics) from the flip marker + 1 to the chromosome
+    end."""
+    lo, hi = ped.chromosome_range(chrom)
+    for n, m in winner.flips:
+        ind = ped.by_id(n)
+        ind.lastinved[chrom] = m
+        sl = slice(m + 1, hi)
+        ind.haploweight[sl] = 1.0 - ind.haploweight[sl]
+        if haplobase is not None and ind_index is not None \
+                and n in ind_index:
+            i = ind_index[n]
+            haplobase[i, sl] = haplocount[i, sl] - haplobase[i, sl]

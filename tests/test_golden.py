@@ -145,6 +145,7 @@ class TestEmissionHandCases:
         # small positive weight
         for nm in ("A", "B"):
             by[nm].markersure[0] = (0.02, 0.02)
+        eng.clear_cache()
         e = eng.emission(by["C"], 0, 0)
         assert (e > 0).all()
         assert (e < 0.01).all()
