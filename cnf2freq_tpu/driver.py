@@ -56,6 +56,14 @@ class Driver:
         self.state = DriverState(scalefactor=self.params.scalefactor)
         self.dtype = dtype
         self.pair_tables: Dict[int, np.ndarray] = {}
+        self._scan_cache = {}
+
+    def _jitted_scan(self):
+        key = self.dtype
+        if key not in self._scan_cache:
+            from .engine import make_jitted_scan
+            self._scan_cache[key] = make_jitted_scan(self.cfg, self.params)
+        return self._scan_cache[key]
 
     # ------------------------------------------------------------------
     # Preprocessing (postmarkerdata)
@@ -281,26 +289,19 @@ class Driver:
             for n in dous:
                 ped.by_id(n).lastinved[c] = -1
             fbatch = gather_family(ped, dous, lo, hi - 1, dtype=self.dtype)
-            blocks = build_blocks(fbatch, cfg)
-            e = assemble_e_all(blocks, cfg)
-            dists = np.diff(ped.markerposes[lo:hi])
-            fbres = forward_backward(e, jnp.asarray(dists), cfg, params)
-            total = combined_loglik(fbres, jnp.asarray(fbatch.shiftignore))
-            W = posterior_weight(fbres, total,
-                                 jnp.asarray(fbatch.shiftignore))
-            hs = haplo_stats(W, blocks, fbatch, cfg)
-            ist = infprob_stats(W, blocks, fbatch, cfg)
-            ts = turn_scores(fbres, fbatch, cfg)
-            self._store_pair_tables(dous, lo, np.asarray(ist.pair))
+            dists = np.diff(ped.markerposes[lo:hi]).astype(self.dtype)
+            res = self._jitted_scan()(fbatch.map(jnp.asarray),
+                                      jnp.asarray(dists))
+            self._store_pair_tables(dous, lo, np.asarray(res.pair))
 
-            self._scatter_haplos(dous, lo, np.asarray(hs.b12),
-                                 np.asarray(hs.mask), haplobase, haplocount,
-                                 ind_index)
-            self._scatter_infprobs(dous, lo, np.asarray(ist.accum), infacc,
-                                   ind_index)
+            self._scatter_haplos(dous, lo, np.asarray(res.haplo_b12),
+                                 np.asarray(res.haplo_mask), haplobase,
+                                 haplocount, ind_index)
+            self._scatter_infprobs(dous, lo, np.asarray(res.inf_accum),
+                                   infacc, ind_index)
 
             if not early:
-                weights = np.array(ts.weight)
+                weights = np.array(res.turn_weight)
                 weights = self._apply_skewterms(dous, lo, hi, weights,
                                                 haplobase, haplocount,
                                                 ind_index)
@@ -444,7 +445,7 @@ class Driver:
         fams_static = []
         for b, n in enumerate(dous):
             members, exists = family_variables(ped, n)
-            _, f2i = ped.fixtrees(n)
+            f2i = ped.missing_flag2_mask(n)
             allowed = np.array([t for t in range(self.cfg.numturns)
                                 if not (t & (f2i >> 1))])
             w = np.clip(np.nan_to_num(weights[b, :, :],

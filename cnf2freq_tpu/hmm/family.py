@@ -71,8 +71,14 @@ except Exception:  # pragma: no cover
 
 def gather_family(ped: Pedigree, focal_ids: Sequence[int],
                   startmark: int, endmark: int,
-                  dtype=np.float64) -> FamilyBatch:
-    """Build the batch for markers [startmark, endmark] inclusive."""
+                  dtype=np.float64, mask_mode: str = "missing") -> \
+        FamilyBatch:
+    """Build the batch for markers [startmark, endmark] inclusive.
+
+    mask_mode selects the canonical-path mask: "missing" (default) pins
+    only vacant slots — the correct restriction; "reference" reproduces
+    the reference's fixtrees mask that also pins empty members
+    (cnF2freq.cpp:3099-3187), for parity testing."""
     cfg: ModelConfig = ped.config
     B = len(focal_ids)
     S = cfg.numslots
@@ -91,6 +97,8 @@ def gather_family(ped: Pedigree, focal_ids: Sequence[int],
     sl = slice(startmark, endmark + 1)
     for b, n in enumerate(focal_ids):
         shig[b], f2ig[b] = ped.fixtrees(n)
+        if mask_mode == "missing":
+            f2ig[b] = ped.missing_flag2_mask(n)
         slots = ped.family_slots(n)
         focal = ped.by_id(n)
         desc[b] = focal.descendants

@@ -212,6 +212,21 @@ class Pedigree:
             ind.founder = True
         return (cfg.numshifts - 1) ^ shiftkeep, (cfg.numpaths - 1) ^ flag2keep
 
+    def missing_flag2_mask(self, n: int) -> int:
+        """Path bits that are genuinely unconsumed: slots with no
+        individual at all.  Unlike the reference's fixtrees mask (which
+        also pins *empty* members and thereby mis-biases genotype probes
+        once correction inference fills their genotypes), bits of existing
+        members stay explorable — the emission's duplicate-allele collapse
+        already canonicalises them wherever their data is symmetric."""
+        cfg = self.config
+        slots = self.family_slots(n)
+        mask = 0
+        for s, sid in enumerate(slots):
+            if s and not sid:
+                mask |= 1 << s
+        return mask
+
     def arerelated(self, a: int, b: int) -> bool:
         """Relatedness within two generations (cnF2freq.cpp:916-946)."""
         def ancestors(n, depth):

@@ -24,7 +24,8 @@ def setup(demo_pedigree):
     for ind in ped.inds[1:]:
         ped.fixtrees(ind.n)
     eng = GoldenEngine(ped)
-    fbatch = gather_family(ped, ped.dous, 0, ped.num_markers - 1)
+    fbatch = gather_family(ped, ped.dous, 0, ped.num_markers - 1,
+                           mask_mode="reference")
     blocks = build_blocks(fbatch, ped.config)
     e = assemble_e_all(blocks, ped.config)
     dists = np.diff(ped.markerposes)
