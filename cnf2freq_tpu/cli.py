@@ -21,6 +21,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mapfile", help="PlantImpute cM map file")
     p.add_argument("--pedfile", help="PlantImpute pedigree file")
     p.add_argument("--genfile", help="PlantImpute genotype file")
+    p.add_argument("--merlinmap", help="MERLIN map file")
+    p.add_argument("--merlinped", help="MERLIN ped file (with genotypes)")
+    p.add_argument("--markerinfo", help="ccoeff-style marker info file")
+    p.add_argument("--ccoeffped", help="ccoeff-style pedigree file")
+    p.add_argument("--ccoeffgen", help="ccoeff-style genotype file")
+    p.add_argument("--protmarkers", help="protected marker positions "
+                   "(with --clear)")
+    p.add_argument("--protinds", help="protected individuals (with --clear)")
+    p.add_argument("--clear", action="store_true",
+                   help="blank non-protected genotypes")
+    p.add_argument("--impoutput", help="compare a previous genotype table "
+                   "against current data and exit")
     p.add_argument("--count", type=int, default=3,
                    help="number of iterations")
     p.add_argument("--limit", type=int, default=None,
@@ -50,10 +62,38 @@ def main(argv=None) -> int:
     from .io.outputs import (deserialize, output_ped, write_genotype_table,
                              write_haplotype_dump)
 
-    if not (args.mapfile and args.pedfile and args.genfile):
-        print("need --mapfile/--pedfile/--genfile", file=sys.stderr)
+    if args.mapfile and args.pedfile and args.genfile:
+        ped = load_plantimpute(args.mapfile, args.pedfile, args.genfile)
+    elif args.merlinmap and args.merlinped:
+        from .io.merlin import read_merlin_map, read_merlin_ped
+        from .pedigree import Pedigree
+        ped = Pedigree()
+        read_merlin_map(ped, args.merlinmap)
+        read_merlin_ped(ped, args.merlinped)
+    elif args.markerinfo and args.ccoeffped and args.ccoeffgen:
+        from .io.ccoeff import load_ccoeff
+        ped = load_ccoeff(args.markerinfo, args.ccoeffped, args.ccoeffgen)
+    else:
+        print("need an input set: --mapfile/--pedfile/--genfile, "
+              "--merlinmap/--merlinped, or "
+              "--markerinfo/--ccoeffped/--ccoeffgen", file=sys.stderr)
         return 2
-    ped = load_plantimpute(args.mapfile, args.pedfile, args.genfile)
+
+    if args.clear and not args.deserialize:
+        from .io.masking import (clear_unprotected, read_protected_markers,
+                                 read_protected_individuals)
+        prot = read_protected_markers(args.protmarkers) \
+            if args.protmarkers else set()
+        pinds = read_protected_individuals(ped, args.protinds) \
+            if args.protinds else set()
+        clear_unprotected(ped, pinds, prot)
+
+    if args.impoutput:
+        from .io.masking import compare_imputed_output
+        with open(args.impoutput) as f:
+            nm = compare_imputed_output(ped, f, sys.stdout)
+        print(f"{nm} mismatches", file=sys.stderr)
+        return 0
     if args.capmarker:
         ped.markerposes = ped.markerposes[:args.capmarker]
         ped.chromstarts[-1] = min(args.capmarker, ped.chromstarts[-1])

@@ -468,6 +468,15 @@ class Driver:
             if not assign:
                 continue
             cands.extend(extract_candidates(fams, assign, lo + m))
+        # a flip of an all-0.5 tail is the identity on every parameter:
+        # applying it would only trip the inversion freeze (scalefactor=0,
+        # cnF2freq.cpp:6341-6342) without changing state — drop such flips
+        for c_ in cands:
+            c_.flips = [
+                (n, m) for n, m in c_.flips
+                if np.abs(ped.by_id(n).haploweight[m + 1:hi] - 0.5).max(
+                    initial=0.0) > 1e-9]
+        cands = [c_ for c_ in cands if c_.flips]
         return select_winner(cands)
 
     # -- parameter updates ----------------------------------------------
@@ -527,8 +536,11 @@ class Driver:
         msu = np.stack([ped.by_id(n).markersure for n in ids])
         desc = np.array([ped.by_id(n).descendants for n in ids])
         children = np.array([ped.by_id(n).children for n in ids])
-        lastinv = np.array([any(li != -1 for li in ped.by_id(n).lastinved)
-                            for n in ids])
+        lastinv = np.zeros((NI, M), dtype=bool)
+        for c in range(ped.num_chromosomes):
+            lo, hi = ped.chromosome_range(c)
+            lastinv[:, lo:hi] = np.array(
+                [ped.by_id(n).lastinved[c] != -1 for n in ids])[:, None]
         if self.cfg.relskews:
             rh = np.stack([ped.by_id(n).relhaplo for n in ids])
             relterm = np.zeros_like(hw)

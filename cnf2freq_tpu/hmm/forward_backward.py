@@ -51,12 +51,27 @@ def _emit_normalise(p, e, logf):
 
 
 def forward_backward(e_all: jnp.ndarray, dists: jnp.ndarray,
-                     cfg: ModelConfig, params: RuntimeParams) -> FBResult:
-    """e_all: [B, M, S, NS] emission tensors; dists: [M-1] interval cM."""
+                     cfg: ModelConfig, params: RuntimeParams,
+                     use_pallas: bool = None,
+                     pallas_interpret: bool = False) -> FBResult:
+    """e_all: [B, M, S, NS] emission tensors; dists: [M-1] interval cM.
+
+    use_pallas: run the sweeps in the fused Pallas kernel (default: on
+    TPU backends when the state space is the MXU-friendly 64)."""
     B, M, S, NS = e_all.shape
     dtype = e_all.dtype
     r = interval_recomb(cfg, params, dists)
     lam = transition_eigenvalues(cfg, r).astype(dtype)      # [M-1, S]
+
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu" and S == 64
+                      and dtype == jnp.float32)
+    if use_pallas:
+        from ..ops.fb_pallas import fb_sweeps_pallas
+        fw_pre, fw_post, bw, fw_pre_f, fw_post_f, bw_f = \
+            fb_sweeps_pallas(e_all, lam, interpret=pallas_interpret)
+        return FBResult(fw_pre=fw_pre, fw_post=fw_post, bw=bw,
+                        fw_pre_f=fw_pre_f, fw_post_f=fw_post_f, bw_f=bw_f)
     lam_pad = jnp.concatenate([lam, jnp.ones((1, S), dtype=dtype)], axis=0)
 
     e_scan = jnp.moveaxis(e_all, 1, 0)                      # [M, B, S, NS]

@@ -1,5 +1,17 @@
 from .alpha import (load_plantimpute, read_alpha_data, read_alpha_map,
                     read_alpha_ped)
+from .ccoeff import load_ccoeff, read_marker_data, read_marker_info, read_ped
+from .masking import (clear_unprotected, compare_imputed_output,
+                      read_protected_individuals, read_protected_markers)
+from .merlin import read_merlin_map, read_merlin_ped, write_merlin_ped
+from .outputs import (deserialize, output_ped, write_genotype_table,
+                      write_haplotype_dump)
 
-__all__ = ["load_plantimpute", "read_alpha_data", "read_alpha_map",
-           "read_alpha_ped"]
+__all__ = [
+    "load_plantimpute", "read_alpha_data", "read_alpha_map",
+    "read_alpha_ped", "load_ccoeff", "read_marker_data", "read_marker_info",
+    "read_ped", "clear_unprotected", "compare_imputed_output",
+    "read_protected_individuals", "read_protected_markers",
+    "read_merlin_map", "read_merlin_ped", "write_merlin_ped", "deserialize",
+    "output_ped", "write_genotype_table", "write_haplotype_dump",
+]

@@ -91,7 +91,7 @@ def update_haploweights(hw, haplobase, haplocount, markerdata, markersure,
     newv, hit = cappedgd(gradient, w.reshape(-1), eps.reshape(-1),
                          scalefactor,
                          breakathalf=jnp.broadcast_to(
-                             lastinved_active[:, None], w.shape).reshape(-1))
+                             lastinved_active, w.shape).reshape(-1))
     newv = newv.reshape(w.shape)
     hit = hit.reshape(w.shape) & active
     out = jnp.where(active, newv, hw)

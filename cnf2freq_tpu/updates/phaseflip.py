@@ -234,7 +234,7 @@ def extract_candidates(fams, assign: Dict[int, bool], marker: int
 
 
 def select_winner(cands: List[FlipCandidate],
-                  min_gain: float = 1e-6) -> Optional[FlipCandidate]:
+                  min_gain: float = 1e-3) -> Optional[FlipCandidate]:
     """Across-marker selection: combine disjoint-cover candidates (the
     mergebestcands idea, cnF2freq.cpp:5097-5183) and return the best
     combined candidate with positive gain."""

@@ -1,0 +1,114 @@
+"""Driver-level regression tests: fast end-to-end behaviour checks on
+small simulated crosses and the demo dataset."""
+
+import numpy as np
+import pytest
+
+from cnf2freq_tpu.config import UNKNOWN
+from cnf2freq_tpu.driver import Driver
+from cnf2freq_tpu.utils import simulate_f2
+
+
+@pytest.fixture()
+def small_cross():
+    return simulate_f2(n_f2=8, n_markers=12, missing_rate=0.2,
+                       error_rate=0.02, seed=9)
+
+
+def test_preprocess_fills_aux(small_cross):
+    ped = small_cross
+    drv = Driver(ped)
+    drv.preprocess()
+    aux = ped.getind("F2_0_aux_realf")
+    # homozygous founders => correction inference phases the F1s
+    filled = (aux.markerdata != UNKNOWN).all(axis=1)
+    assert filled.mean() > 0.3
+    A = ped.getind("A0")
+    assert A.founder
+
+
+def test_iterate_moves_state(small_cross):
+    ped = small_cross
+    drv = Driver(ped)
+    drv.preprocess()
+    hw_before = ped.by_id(ped.dous[0]).haploweight.copy()
+    info = drv.iterate(early=False)
+    assert np.isfinite(info["scalefactor"])
+    assert info["hitnnn"] >= 0
+    # pair tables exist for every analysed individual and are normalised
+    for n in ped.dous:
+        tab = drv.pair_tables[n]
+        assert tab.shape == (ped.num_markers, 2, 2)
+        assert np.isfinite(tab).all()
+        assert (tab >= 0).all()
+    # either gradient updates moved weights or an inversion flipped a
+    # tail somewhere in the pedigree
+    moved = any(
+        not np.allclose(hw_before if n == ped.dous[0] else 0.5,
+                        ped.by_id(n).haploweight)
+        for n in ped.dous) or info["inverted"]
+    assert moved
+
+
+def test_single_hidden_marker_recovery():
+    """With clean dense data, one hidden marker column must be recovered
+    nearly perfectly — the canonical-mask regression test."""
+    ped = simulate_f2(n_f2=16, n_markers=14, missing_rate=0.0,
+                      error_rate=0.0, seed=5)
+    HIDE = 7
+    for n in ped.dous:
+        ind = ped.by_id(n)
+        ind.markerdata[HIDE] = (UNKNOWN, UNKNOWN)
+        ind.markersure[HIDE] = (0.0, 0.0)
+        ind.priormarkerdata[HIDE] = (UNKNOWN, UNKNOWN)
+        ind.priormarkersure[HIDE] = (0.0, 0.0)
+    drv = Driver(ped)
+    drv.preprocess()
+    drv.iterate(early=False)
+    hits = 0
+    ptrue = []
+    for n in ped.dous:
+        cls_true = (ped.truths[n][HIDE] == 2).sum()
+        p = drv.pair_tables[n][HIDE]
+        p = p / p.sum()
+        cp = np.array([p[0, 0], p[0, 1] + p[1, 0], p[1, 1]])
+        hits += cp.argmax() == cls_true
+        ptrue.append(cp[cls_true])
+    assert hits >= len(ped.dous) - 2, hits
+    assert np.mean(ptrue) > 0.8
+
+
+def test_demo_pipeline(demo_pedigree):
+    """Demo runs two iterations and produces a sane genotype table."""
+    import copy
+    import io
+
+    from cnf2freq_tpu.io.outputs import (deserialize, write_genotype_table,
+                                         write_haplotype_dump)
+
+    ped = demo_pedigree
+    drv = Driver(ped)
+    drv.preprocess()
+    for i in range(2):
+        drv.iterate(early=(i == 0))
+    buf = io.StringIO()
+    write_genotype_table(ped, drv.pair_tables, buf)
+    text = buf.getvalue()
+    assert text.startswith("C:1\n")
+    rows = [r for r in text.splitlines() if "\t" in r]
+    assert len(rows) == 3 * 18
+    vals = np.array([[float(v) for v in r.split("\t")] for r in rows])
+    np.testing.assert_allclose(vals.sum(axis=1), 1.0, atol=2e-5)
+    assert (vals[:, 3] == 0).all()
+    # C marker 0 is certainly 22 (A=22 x B=22)
+    np.testing.assert_allclose(vals[0], [0, 0, 1, 0], atol=1e-6)
+
+    # dump -> deserialize round trip restores state
+    buf = io.StringIO()
+    write_haplotype_dump(ped, buf, reset_negshift=False)
+    C = ped.getind("C")
+    saved = C.haploweight.copy()
+    C.haploweight[:] = 0.5
+    buf.seek(0)
+    deserialize(ped, buf)
+    np.testing.assert_allclose(C.haploweight, saved, atol=1e-6)
