@@ -57,6 +57,12 @@ class Driver:
         self.dtype = dtype
         self.pair_tables: Dict[int, np.ndarray] = {}
         self._scan_cache = {}
+        # Feed the relskew machinery with measured adjacent-phase
+        # coherence each iteration (the statistic relhaplo is designed to
+        # carry; the reference's PlantImpute path leaves it inert at 0.5).
+        # Dramatically speeds phase convergence; disable for strict
+        # reference-parity experiments.
+        self.adaptive_relhaplo = True
 
     def _jitted_scan(self):
         key = self.dtype
@@ -299,6 +305,10 @@ class Driver:
                                  haplocount, ind_index)
             self._scatter_infprobs(dous, lo, np.asarray(res.inf_accum),
                                    infacc, ind_index)
+            if self.adaptive_relhaplo and self.cfg.relskews:
+                self._scatter_coherence(dous, lo, hi,
+                                        np.asarray(res.coherence),
+                                        ind_index)
 
             if not early:
                 weights = np.array(res.turn_weight)
@@ -378,6 +388,28 @@ class Driver:
                 norm = 2.0 / (2 ** len(slots)) * desc
                 sl = slice(lo, lo + accum.shape[1])
                 infacc[i, sl] += tot * inv[:, None, None] * norm
+
+    def _scatter_coherence(self, dous, lo, hi, coh, ind_index):
+        """Write measured adjacent-phase coherence into relhaplo, averaged
+        over every slot appearance, weighted by the focal's descendants."""
+        ped = self.ped
+        M = coh.shape[1]
+        num = np.zeros((len(ind_index), M))
+        den = np.zeros((len(ind_index), M))
+        for b, n in enumerate(dous):
+            desc = ped.by_id(n).descendants
+            for sid, slots in self._unique_members(n).items():
+                i = ind_index[sid]
+                for s in slots:
+                    num[i] += desc * coh[b, :, s]
+                    den[i] += desc
+        for sid, i in ind_index.items():
+            ind = ped.by_id(sid)
+            if ind.relhaplo is None:
+                continue
+            got = den[i] > 0
+            vals = np.where(got, num[i] / np.maximum(den[i], 1), 0.5)
+            ind.relhaplo[lo:lo + M] = np.clip(vals, 1e-4, 1 - 1e-4)
 
     def _apply_skewterms(self, dous, lo, hi, weights, haplobase, haplocount,
                          ind_index):

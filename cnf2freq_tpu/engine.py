@@ -19,8 +19,9 @@ from .config import ModelConfig, RuntimeParams
 from .hmm.emission import assemble_e_all, build_blocks
 from .hmm.family import FamilyBatch
 from .hmm.forward_backward import combined_loglik, forward_backward
-from .hmm.probes import (haplo_stats, infprob_stats, posterior_weight,
-                         turn_scores)
+from .hmm.probes import (haplo_stats, infprob_stats, phase_coherence,
+                         posterior_weight, turn_scores)
+from .hmm.transition import interval_recomb, transition_eigenvalues
 
 
 class ScanResult(NamedTuple):
@@ -30,28 +31,35 @@ class ScanResult(NamedTuple):
     inf_accum: jnp.ndarray    # [B, M, 7, 2, 2]
     pair: jnp.ndarray         # [B, M, 2, 2]
     turn_weight: jnp.ndarray  # [B, M, T]
+    coherence: jnp.ndarray    # [B, M, 7] adjacent-phase coherence
 
 
 def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
-                    params: RuntimeParams,
-                    with_infprobs: bool = True) -> ScanResult:
+                    params: RuntimeParams, with_infprobs: bool = True,
+                    with_coherence: bool = True) -> ScanResult:
     blocks = build_blocks(fb, cfg, dtype=fb.ms.dtype)
     e = assemble_e_all(blocks, cfg)
     fbres = forward_backward(e, dists, cfg, params)
     total = combined_loglik(fbres, fb.shiftignore)
     W = posterior_weight(fbres, total, fb.shiftignore)
     hs = haplo_stats(W, blocks, fb, cfg)
+    B, M = fb.md.shape[0], fb.md.shape[2]
     if with_infprobs:
         ist = infprob_stats(W, blocks, fb, cfg)
         inf_accum, pair = ist.accum, ist.pair
     else:
-        B, M = fb.md.shape[0], fb.md.shape[2]
         inf_accum = jnp.zeros((B, M, cfg.numslots, 2, 2), dtype=e.dtype)
         pair = jnp.zeros((B, M, 2, 2), dtype=e.dtype)
     ts = turn_scores(fbres, fb, cfg)
+    if with_coherence:
+        lam = transition_eigenvalues(
+            cfg, interval_recomb(cfg, params, dists)).astype(e.dtype)
+        coh = phase_coherence(fbres, blocks, fb, cfg, lam)
+    else:
+        coh = jnp.full((B, M, cfg.numslots), 0.5, dtype=e.dtype)
     return ScanResult(total=total, haplo_b12=hs.b12, haplo_mask=hs.mask,
                       inf_accum=inf_accum, pair=pair,
-                      turn_weight=ts.weight)
+                      turn_weight=ts.weight, coherence=coh)
 
 
 def make_jitted_scan(cfg: ModelConfig, params: RuntimeParams,

@@ -64,8 +64,11 @@ def forward_backward(e_all: jnp.ndarray, dists: jnp.ndarray,
     lam = transition_eigenvalues(cfg, r).astype(dtype)      # [M-1, S]
 
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu" and S == 64
-                      and dtype == jnp.float32)
+        try:
+            plat = jnp.zeros(1).devices().pop().platform
+        except Exception:
+            plat = jax.default_backend()
+        use_pallas = (plat == "tpu" and S == 64 and dtype == jnp.float32)
     if use_pallas:
         from ..ops.fb_pallas import fb_sweeps_pallas
         fw_pre, fw_post, bw, fw_pre_f, fw_post_f, bw_f = \

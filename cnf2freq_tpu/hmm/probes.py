@@ -330,3 +330,70 @@ def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
         pairs.append(jnp.stack(row, axis=-1))
     pair = jnp.stack(pairs, axis=-2)     # [b, m, mv0, mv1]
     return InfprobStats(accum=accum, pair=pair)
+
+
+# ---------------------------------------------------------------------------
+# Adjacent-marker phase coherence
+# ---------------------------------------------------------------------------
+def _phase_resolved_emission(blocks: EmissionBlocks, fb: FamilyBatch,
+                             cfg: ModelConfig, slot: int) -> jnp.ndarray:
+    """E_j[b, m, j(2), g, s]: emission restricted to the given slot's
+    phase-interpretation bit == j, summed over all other path freedom."""
+    dtype = blocks.froot.dtype
+    V = [_valid_paths(fb.flag2ignore, k).astype(dtype) for k in range(2)]
+    froot, pb = blocks.froot, blocks.pb
+    pbs = [jnp.einsum("zmrfps,zp->zmrfs", pb[k], V[k]) for k in range(2)]
+    INDF = jnp.asarray(_IND_FOCAL, dtype=dtype)
+    IND_P = jnp.asarray(_IND_PARENT, dtype=dtype)
+    IND_G = [jnp.asarray(x, dtype=dtype) for x in _IND_GP]
+
+    if slot == 0:
+        e = jnp.einsum("zmrt,zmrau,zmrbv,rtj->zmjbavut",
+                       froot, pbs[0], pbs[1], INDF)
+    else:
+        k = 0 if slot < cfg.parent_slot(1) else 1
+        local = slot - cfg.parent_slot(k)
+        IND = IND_P if local == 0 else IND_G[local - 1]
+        ph = jnp.einsum("zmrfps,zp,fpsj->zmrfsj", pb[k], V[k], IND)
+        if k == 0:
+            e = jnp.einsum("zmrt,zmrauj,zmrbv->zmjbavut",
+                           froot, ph, pbs[1])
+        else:
+            e = jnp.einsum("zmrt,zmrbvj,zmrau->zmjbavut",
+                           froot, ph, pbs[0])
+    B, M = e.shape[:2]
+    return e.reshape(B, M, 2, cfg.numtypes, cfg.numshifts)
+
+
+def phase_coherence(fbres: FBResult, blocks: EmissionBlocks,
+                    fb: FamilyBatch, cfg: ModelConfig,
+                    lam: jnp.ndarray) -> jnp.ndarray:
+    """C[b, m, slot]: posterior P(phase bit of `slot` is equal at markers
+    m and m+1); last column is 0.5 padding.
+
+    This is the statistic ``relhaplo`` is designed to carry (the
+    reference's ShapeIT ensemble path fills it from sampled phase
+    switches, cnF2freq.cpp:7029-7067; the PlantImpute path leaves it at
+    0.5).  Computed from the pairwise joint
+    fw_pre[m] * E_j[m] * T_m * E_j'[m+1] * bw[m+1] per shift mode."""
+    from .transition import apply_transition
+    B, M, S, NS = fbres.fw_pre.shape
+    dtype = fbres.fw_pre.dtype
+    logw = fbres.fw_pre_f[:, :-1, :] + fbres.bw_f[:, 1:, :]
+    logw = logw - logw.max(axis=-1, keepdims=True)
+    w = jnp.exp(logw)                                   # [B, M-1, NS]
+
+    cols = []
+    for slot in range(cfg.numslots):
+        e_j = _phase_resolved_emission(blocks, fb, cfg, slot)
+        x = fbres.fw_pre[:, :-1, None] * e_j[:, :-1]    # [B,M-1,j,S,NS]
+        xt = apply_transition(x, lam[None, :, None])
+        y = e_j[:, 1:] * fbres.bw[:, 1:, None]          # [B,M-1,j',S,NS]
+        jmat = jnp.einsum("zmigs,zmjgs,zms->zmij", xt, y, w)
+        tot = jmat.sum(axis=(-1, -2))
+        same = jmat[..., 0, 0] + jmat[..., 1, 1]
+        c = jnp.where(tot > 0, same / jnp.where(tot > 0, tot, 1.0), 0.5)
+        cols.append(c)
+    C = jnp.stack(cols, axis=-1)                        # [B, M-1, slots]
+    pad = jnp.full((B, 1, cfg.numslots), 0.5, dtype=dtype)
+    return jnp.concatenate([C, pad], axis=1)

@@ -42,7 +42,7 @@ def _fwd_kernel(e_ref, lam_ref, h_ref, pre_ref, pref_ref, post_ref,
     p = p_scr[:]                                   # [TB*NS, S]
     f = f_scr[:]                                   # [TB*NS, 1]
     pre_ref[:] = p.reshape(TB, 1, NS, S)
-    pref_ref[:] = f.reshape(TB, 1, NS)
+    pref_ref[:] = f.reshape(TB, 1, NS, 1)
 
     e = e_ref[:].reshape(TB * NS, S)
     p = jnp.where(p < 1e-30, 0.0, p)
@@ -53,11 +53,11 @@ def _fwd_kernel(e_ref, lam_ref, h_ref, pre_ref, pref_ref, post_ref,
     f = jnp.where(ok, f + jnp.log(jnp.where(ok, s, 1.0)), MINFACTOR)
 
     post_ref[:] = pn.reshape(TB, 1, NS, S)
-    postf_ref[:] = f.reshape(TB, 1, NS)
+    postf_ref[:] = f.reshape(TB, 1, NS, 1)
     f_scr[:] = f
 
     h = h_ref[:]
-    lam = lam_ref[:].reshape(1, S)
+    lam = lam_ref[pl.ds(m, 1), :]
     q = jnp.dot(pn, h, preferred_element_type=pn.dtype) * lam
     p_scr[:] = jnp.dot(q, h, preferred_element_type=pn.dtype) * (1.0 / S)
 
@@ -75,7 +75,7 @@ def _bwd_kernel(e_ref, lam_ref, h_ref, bw_ref, bwf_ref, p_scr, f_scr, *,
     p = p_scr[:]
     f = f_scr[:]
     bw_ref[:] = p.reshape(TB, 1, NS, S)
-    bwf_ref[:] = f.reshape(TB, 1, NS)
+    bwf_ref[:] = f.reshape(TB, 1, NS, 1)
 
     e = e_ref[:].reshape(TB * NS, S)
     p = jnp.where(p < 1e-30, 0.0, p)
@@ -87,7 +87,7 @@ def _bwd_kernel(e_ref, lam_ref, h_ref, bw_ref, bwf_ref, p_scr, f_scr, *,
     f_scr[:] = f
 
     h = h_ref[:]
-    lam = lam_ref[:].reshape(1, S)
+    lam = lam_ref[pl.ds(m, 1), :]
     q = jnp.dot(pn, h, preferred_element_type=pn.dtype) * lam
     p_scr[:] = jnp.dot(q, h, preferred_element_type=pn.dtype) * (1.0 / S)
 
@@ -120,16 +120,16 @@ def fb_sweeps_pallas(e_all: jnp.ndarray, lam: jnp.ndarray,
 
     grid = (nb, M)
     espec = pl.BlockSpec((TB, 1, NS, S), lambda b, m: (b, m, 0, 0))
-    lspec = pl.BlockSpec((1, S), lambda b, m: (m, 0))
+    lspec = pl.BlockSpec((M, S), lambda b, m: (0, 0))
     hspec = pl.BlockSpec((S, S), lambda b, m: (0, 0))
     outspec = pl.BlockSpec((TB, 1, NS, S), lambda b, m: (b, m, 0, 0))
-    fspec = pl.BlockSpec((TB, 1, NS), lambda b, m: (b, m, 0))
+    fspec = pl.BlockSpec((TB, 1, NS, 1), lambda b, m: (b, m, 0, 0))
     scratch = [pltpu.VMEM((TB * NS, S), dtype),
                pltpu.VMEM((TB * NS, 1), dtype)]
     shapes = (jax.ShapeDtypeStruct((B, M, NS, S), dtype),
-              jax.ShapeDtypeStruct((B, M, NS), dtype),
+              jax.ShapeDtypeStruct((B, M, NS, 1), dtype),
               jax.ShapeDtypeStruct((B, M, NS, S), dtype),
-              jax.ShapeDtypeStruct((B, M, NS), dtype))
+              jax.ShapeDtypeStruct((B, M, NS, 1), dtype))
 
     fw_pre, fw_pre_f, fw_post, fw_post_f = pl.pallas_call(
         functools.partial(_fwd_kernel, S=S, NS=NS, TB=TB, nm=M),
@@ -165,4 +165,5 @@ def fb_sweeps_pallas(e_all: jnp.ndarray, lam: jnp.ndarray,
         return jnp.moveaxis(x[:B0], 2, 3)
 
     return (arrange(fw_pre), arrange(fw_post), arrange(bw),
-            fw_pre_f[:B0], fw_post_f[:B0], bw_f[:B0])
+            fw_pre_f[:B0, :, :, 0], fw_post_f[:B0, :, :, 0],
+            bw_f[:B0, :, :, 0])
