@@ -67,8 +67,10 @@ class Driver:
     def _jitted_scan(self):
         key = self.dtype
         if key not in self._scan_cache:
-            from .engine import make_jitted_scan
-            self._scan_cache[key] = make_jitted_scan(self.cfg, self.params)
+            from .engine import make_jitted_coherence, make_jitted_scan
+            self._scan_cache[key] = (
+                make_jitted_scan(self.cfg, self.params),
+                make_jitted_coherence(self.cfg, self.params))
         return self._scan_cache[key]
 
     # ------------------------------------------------------------------
@@ -296,8 +298,10 @@ class Driver:
                 ped.by_id(n).lastinved[c] = -1
             fbatch = gather_family(ped, dous, lo, hi - 1, dtype=self.dtype)
             dists = np.diff(ped.markerposes[lo:hi]).astype(self.dtype)
-            res = self._jitted_scan()(fbatch.map(jnp.asarray),
-                                      jnp.asarray(dists))
+            scan_fn, coh_fn = self._jitted_scan()
+            fbj = fbatch.map(jnp.asarray)
+            dj = jnp.asarray(dists)
+            res = scan_fn(fbj, dj)
             self._store_pair_tables(dous, lo, np.asarray(res.pair))
 
             self._scatter_haplos(dous, lo, np.asarray(res.haplo_b12),
@@ -306,9 +310,11 @@ class Driver:
             self._scatter_infprobs(dous, lo, np.asarray(res.inf_accum),
                                    infacc, ind_index)
             if self.adaptive_relhaplo and self.cfg.relskews:
-                self._scatter_coherence(dous, lo, hi,
-                                        np.asarray(res.coherence),
-                                        ind_index)
+                coh = np.stack([
+                    np.asarray(coh_fn(fbj, dj, res.fw_pre, res.bw,
+                                      res.fw_pre_f, res.bw_f, slot))
+                    for slot in range(self.cfg.numslots)], axis=-1)
+                self._scatter_coherence(dous, lo, hi, coh, ind_index)
 
             if not early:
                 weights = np.array(res.turn_weight)

@@ -32,11 +32,15 @@ class ScanResult(NamedTuple):
     pair: jnp.ndarray         # [B, M, 2, 2]
     turn_weight: jnp.ndarray  # [B, M, T]
     coherence: jnp.ndarray    # [B, M, 7] adjacent-phase coherence
+    fw_pre: jnp.ndarray       # [B, M, S, NS] (for follow-up passes)
+    bw: jnp.ndarray
+    fw_pre_f: jnp.ndarray     # [B, M, NS]
+    bw_f: jnp.ndarray
 
 
 def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
                     params: RuntimeParams, with_infprobs: bool = True,
-                    with_coherence: bool = True) -> ScanResult:
+                    with_coherence: bool = False) -> ScanResult:
     blocks = build_blocks(fb, cfg, dtype=fb.ms.dtype)
     e = assemble_e_all(blocks, cfg)
     fbres = forward_backward(e, dists, cfg, params)
@@ -59,7 +63,9 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
         coh = jnp.full((B, M, cfg.numslots), 0.5, dtype=e.dtype)
     return ScanResult(total=total, haplo_b12=hs.b12, haplo_mask=hs.mask,
                       inf_accum=inf_accum, pair=pair,
-                      turn_weight=ts.weight, coherence=coh)
+                      turn_weight=ts.weight, coherence=coh,
+                      fw_pre=fbres.fw_pre, bw=fbres.bw,
+                      fw_pre_f=fbres.fw_pre_f, bw_f=fbres.bw_f)
 
 
 def make_jitted_scan(cfg: ModelConfig, params: RuntimeParams,
@@ -67,5 +73,26 @@ def make_jitted_scan(cfg: ModelConfig, params: RuntimeParams,
     @jax.jit
     def run(fb: FamilyBatch, dists):
         return chromosome_scan(fb, dists, cfg, params, with_infprobs)
+
+    return run
+
+
+def make_jitted_coherence(cfg: ModelConfig, params: RuntimeParams):
+    """Per-slot adjacent-phase coherence as its own pass: bounded peak
+    memory at large B*M (one slot's chain live at a time)."""
+    from functools import partial
+
+    from .hmm.emission import build_blocks
+    from .hmm.forward_backward import FBResult
+    from .hmm.probes import phase_coherence_slot
+
+    @partial(jax.jit, static_argnames=("slot",))
+    def run(fb: FamilyBatch, dists, fw_pre, bw, fw_pre_f, bw_f, slot: int):
+        blocks = build_blocks(fb, cfg, dtype=fb.ms.dtype)
+        lam = transition_eigenvalues(
+            cfg, interval_recomb(cfg, params, dists)).astype(fw_pre.dtype)
+        fbres = FBResult(fw_pre=fw_pre, fw_post=fw_pre, bw=bw,
+                         fw_pre_f=fw_pre_f, fw_post_f=fw_pre_f, bw_f=bw_f)
+        return phase_coherence_slot(fbres, blocks, fb, cfg, lam, slot)
 
     return run

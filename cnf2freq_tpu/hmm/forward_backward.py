@@ -64,11 +64,12 @@ def forward_backward(e_all: jnp.ndarray, dists: jnp.ndarray,
     lam = transition_eigenvalues(cfg, r).astype(dtype)      # [M-1, S]
 
     if use_pallas is None:
-        try:
-            plat = jnp.zeros(1).devices().pop().platform
-        except Exception:
-            plat = jax.default_backend()
-        use_pallas = (plat == "tpu" and S == 64 and dtype == jnp.float32)
+        import os
+        # The XLA scan currently beats the fused kernel on v5e (the
+        # sweeps are ~8% of scan time; measured in STATUS.md).  The
+        # kernel stays available for explicit use/benchmarking.
+        env = os.environ.get("CNF2FREQ_FB_PALLAS")
+        use_pallas = env is not None and env not in ("0", "false", "")
     if use_pallas:
         from ..ops.fb_pallas import fb_sweeps_pallas
         fw_pre, fw_post, bw, fw_pre_f, fw_post_f, bw_f = \

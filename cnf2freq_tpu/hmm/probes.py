@@ -365,17 +365,18 @@ def _phase_resolved_emission(blocks: EmissionBlocks, fb: FamilyBatch,
     return e.reshape(B, M, 2, cfg.numtypes, cfg.numshifts)
 
 
-def phase_coherence(fbres: FBResult, blocks: EmissionBlocks,
-                    fb: FamilyBatch, cfg: ModelConfig,
-                    lam: jnp.ndarray) -> jnp.ndarray:
-    """C[b, m, slot]: posterior P(phase bit of `slot` is equal at markers
-    m and m+1); last column is 0.5 padding.
+def phase_coherence_slot(fbres: FBResult, blocks: EmissionBlocks,
+                         fb: FamilyBatch, cfg: ModelConfig,
+                         lam: jnp.ndarray, slot: int) -> jnp.ndarray:
+    """C[b, m]: posterior P(phase bit of `slot` equal at markers m, m+1);
+    the last column is 0.5 padding.
 
     This is the statistic ``relhaplo`` is designed to carry (the
     reference's ShapeIT ensemble path fills it from sampled phase
     switches, cnF2freq.cpp:7029-7067; the PlantImpute path leaves it at
     0.5).  Computed from the pairwise joint
-    fw_pre[m] * E_j[m] * T_m * E_j'[m+1] * bw[m+1] per shift mode."""
+    fw_pre[m] * E_j[m] * T_m * E_j'[m+1] * bw[m+1] per shift mode.
+    One slot per call keeps peak memory bounded at large B*M."""
     from .transition import apply_transition
     B, M, S, NS = fbres.fw_pre.shape
     dtype = fbres.fw_pre.dtype
@@ -383,17 +384,22 @@ def phase_coherence(fbres: FBResult, blocks: EmissionBlocks,
     logw = logw - logw.max(axis=-1, keepdims=True)
     w = jnp.exp(logw)                                   # [B, M-1, NS]
 
-    cols = []
-    for slot in range(cfg.numslots):
-        e_j = _phase_resolved_emission(blocks, fb, cfg, slot)
-        x = fbres.fw_pre[:, :-1, None] * e_j[:, :-1]    # [B,M-1,j,S,NS]
-        xt = apply_transition(x, lam[None, :, None])
-        y = e_j[:, 1:] * fbres.bw[:, 1:, None]          # [B,M-1,j',S,NS]
-        jmat = jnp.einsum("zmigs,zmjgs,zms->zmij", xt, y, w)
-        tot = jmat.sum(axis=(-1, -2))
-        same = jmat[..., 0, 0] + jmat[..., 1, 1]
-        c = jnp.where(tot > 0, same / jnp.where(tot > 0, tot, 1.0), 0.5)
-        cols.append(c)
-    C = jnp.stack(cols, axis=-1)                        # [B, M-1, slots]
-    pad = jnp.full((B, 1, cfg.numslots), 0.5, dtype=dtype)
-    return jnp.concatenate([C, pad], axis=1)
+    e_j = _phase_resolved_emission(blocks, fb, cfg, slot)
+    x = fbres.fw_pre[:, :-1, None] * e_j[:, :-1]        # [B,M-1,j,S,NS]
+    xt = apply_transition(x, lam[None, :, None])
+    y = e_j[:, 1:] * fbres.bw[:, 1:, None]              # [B,M-1,j',S,NS]
+    jmat = jnp.einsum("zmigs,zmjgs,zms->zmij", xt, y, w)
+    tot = jmat.sum(axis=(-1, -2))
+    same = jmat[..., 0, 0] + jmat[..., 1, 1]
+    c = jnp.where(tot > 0, same / jnp.where(tot > 0, tot, 1.0), 0.5)
+    pad = jnp.full((B, 1), 0.5, dtype=dtype)
+    return jnp.concatenate([c, pad], axis=1)
+
+
+def phase_coherence(fbres: FBResult, blocks: EmissionBlocks,
+                    fb: FamilyBatch, cfg: ModelConfig,
+                    lam: jnp.ndarray) -> jnp.ndarray:
+    """All-slot coherence [b, m, slot] (small-problem convenience)."""
+    cols = [phase_coherence_slot(fbres, blocks, fb, cfg, lam, slot)
+            for slot in range(cfg.numslots)]
+    return jnp.stack(cols, axis=-1)

@@ -8,7 +8,9 @@ lives in VMEM scratch across grid steps, each step fusing
 
 so the whole chromosome sweep runs without bouncing the carry through HBM
 (the XLA scan materialises it every step).  Emissions stream in through
-the automatic grid pipeline (double-buffered HBM->VMEM).
+the automatic grid pipeline (double-buffered HBM->VMEM); the backward
+sweep walks the same arrays through a reversed index map — no transposed
+or reversed copies are materialised in HBM.
 
 Layout: probabilities as [TB * NS, S] rows (batch x shift-mode rows, state
 columns) so the transition is a [rows, 64] @ [64, 64] MXU matmul.
@@ -27,11 +29,31 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import MINFACTOR
 from ..hmm.transition import hadamard
 
-_TB = 64  # batch tile; rows = TB * NS = 512
+import os
+_TB = int(os.environ.get("CNF2FREQ_FB_TB", 128))  # rows = TB * NS
+
+
+def _step(p, f, e, h, lam, S):
+    """Shared fused step: emission-normalise + Hadamard transition."""
+    p = jnp.where(p < 1e-30, 0.0, p)
+    pe = p * e
+    s = pe.sum(axis=1, keepdims=True)
+    ok = s > 0
+    pn = jnp.where(ok, pe / jnp.where(ok, s, 1.0), 0.0)
+    f = jnp.where(ok, f + jnp.log(jnp.where(ok, s, 1.0)), MINFACTOR)
+    q = jnp.dot(pn, h, preferred_element_type=pn.dtype) * lam
+    pnext = jnp.dot(q, h, preferred_element_type=pn.dtype) * (1.0 / S)
+    return pn, f, pnext
+
+
+def _load_e(e_ref, TB, NS, S):
+    """e block [TB, 1, S, NS] -> [TB*NS, S] row layout."""
+    e = e_ref[:].reshape(TB, S, NS)
+    return jnp.transpose(e, (0, 2, 1)).reshape(TB * NS, S)
 
 
 def _fwd_kernel(e_ref, lam_ref, h_ref, pre_ref, pref_ref, post_ref,
-                postf_ref, p_scr, f_scr, *, S, NS, TB, nm):
+                postf_ref, p_scr, f_scr, *, S, NS, TB):
     m = pl.program_id(1)
 
     @pl.when(m == 0)
@@ -44,27 +66,20 @@ def _fwd_kernel(e_ref, lam_ref, h_ref, pre_ref, pref_ref, post_ref,
     pre_ref[:] = p.reshape(TB, 1, NS, S)
     pref_ref[:] = f.reshape(TB, 1, NS, 1)
 
-    e = e_ref[:].reshape(TB * NS, S)
-    p = jnp.where(p < 1e-30, 0.0, p)
-    pe = p * e
-    s = pe.sum(axis=1, keepdims=True)
-    ok = s > 0
-    pn = jnp.where(ok, pe / jnp.where(ok, s, 1.0), 0.0)
-    f = jnp.where(ok, f + jnp.log(jnp.where(ok, s, 1.0)), MINFACTOR)
+    e = _load_e(e_ref, TB, NS, S)
+    pn, f, pnext = _step(p, f, e, h_ref[:], lam_ref[pl.ds(m, 1), :], S)
 
     post_ref[:] = pn.reshape(TB, 1, NS, S)
     postf_ref[:] = f.reshape(TB, 1, NS, 1)
     f_scr[:] = f
-
-    h = h_ref[:]
-    lam = lam_ref[pl.ds(m, 1), :]
-    q = jnp.dot(pn, h, preferred_element_type=pn.dtype) * lam
-    p_scr[:] = jnp.dot(q, h, preferred_element_type=pn.dtype) * (1.0 / S)
+    p_scr[:] = pnext
 
 
 def _bwd_kernel(e_ref, lam_ref, h_ref, bw_ref, bwf_ref, p_scr, f_scr, *,
                 S, NS, TB, nm):
-    """Walks reversed marker order; e_ref/lam_ref are pre-reversed."""
+    """Marker order reversed through the index maps; grid step m handles
+    original marker nm-1-m.  lam for the step from marker j+1 down to j is
+    the original interval j = nm-2-m."""
     m = pl.program_id(1)
 
     @pl.when(m == 0)
@@ -77,19 +92,12 @@ def _bwd_kernel(e_ref, lam_ref, h_ref, bw_ref, bwf_ref, p_scr, f_scr, *,
     bw_ref[:] = p.reshape(TB, 1, NS, S)
     bwf_ref[:] = f.reshape(TB, 1, NS, 1)
 
-    e = e_ref[:].reshape(TB * NS, S)
-    p = jnp.where(p < 1e-30, 0.0, p)
-    pe = p * e
-    s = pe.sum(axis=1, keepdims=True)
-    ok = s > 0
-    pn = jnp.where(ok, pe / jnp.where(ok, s, 1.0), 0.0)
-    f = jnp.where(ok, f + jnp.log(jnp.where(ok, s, 1.0)), MINFACTOR)
+    e = _load_e(e_ref, TB, NS, S)
+    lam_idx = jnp.maximum(nm - 2 - m, 0)
+    pn, f, pnext = _step(p, f, e, h_ref[:], lam_ref[pl.ds(lam_idx, 1), :],
+                         S)
     f_scr[:] = f
-
-    h = h_ref[:]
-    lam = lam_ref[pl.ds(m, 1), :]
-    q = jnp.dot(pn, h, preferred_element_type=pn.dtype) * lam
-    p_scr[:] = jnp.dot(q, h, preferred_element_type=pn.dtype) * (1.0 / S)
+    p_scr[:] = pnext
 
 
 def _pad_batch(x, TB):
@@ -110,20 +118,25 @@ def fb_sweeps_pallas(e_all: jnp.ndarray, lam: jnp.ndarray,
     B0, M, S, NS = e_all.shape
     dtype = e_all.dtype
     TB = _TB
-    e_t = jnp.moveaxis(e_all, 3, 2)                # [B, M, NS, S]
-    e_t, B0 = _pad_batch(e_t, TB)
-    B = e_t.shape[0]
+    e_pad, B0 = _pad_batch(e_all, TB)
+    B = e_pad.shape[0]
     nb = B // TB
 
     h = jnp.asarray(hadamard(int(S).bit_length() - 1, str(dtype)))
     lam_pad = jnp.concatenate([lam, jnp.ones((1, S), dtype=dtype)], 0)
 
     grid = (nb, M)
-    espec = pl.BlockSpec((TB, 1, NS, S), lambda b, m: (b, m, 0, 0))
+    espec_f = pl.BlockSpec((TB, 1, S, NS), lambda b, m: (b, m, 0, 0))
+    espec_b = pl.BlockSpec((TB, 1, S, NS),
+                           lambda b, m, nm=M: (b, nm - 1 - m, 0, 0))
     lspec = pl.BlockSpec((M, S), lambda b, m: (0, 0))
     hspec = pl.BlockSpec((S, S), lambda b, m: (0, 0))
-    outspec = pl.BlockSpec((TB, 1, NS, S), lambda b, m: (b, m, 0, 0))
-    fspec = pl.BlockSpec((TB, 1, NS, 1), lambda b, m: (b, m, 0, 0))
+    outspec_f = pl.BlockSpec((TB, 1, NS, S), lambda b, m: (b, m, 0, 0))
+    outspec_b = pl.BlockSpec((TB, 1, NS, S),
+                             lambda b, m, nm=M: (b, nm - 1 - m, 0, 0))
+    fspec_f = pl.BlockSpec((TB, 1, NS, 1), lambda b, m: (b, m, 0, 0))
+    fspec_b = pl.BlockSpec((TB, 1, NS, 1),
+                           lambda b, m, nm=M: (b, nm - 1 - m, 0, 0))
     scratch = [pltpu.VMEM((TB * NS, S), dtype),
                pltpu.VMEM((TB * NS, 1), dtype)]
     shapes = (jax.ShapeDtypeStruct((B, M, NS, S), dtype),
@@ -132,34 +145,28 @@ def fb_sweeps_pallas(e_all: jnp.ndarray, lam: jnp.ndarray,
               jax.ShapeDtypeStruct((B, M, NS, 1), dtype))
 
     fw_pre, fw_pre_f, fw_post, fw_post_f = pl.pallas_call(
-        functools.partial(_fwd_kernel, S=S, NS=NS, TB=TB, nm=M),
+        functools.partial(_fwd_kernel, S=S, NS=NS, TB=TB),
         grid=grid,
-        in_specs=[espec, lspec, hspec],
-        out_specs=(outspec, fspec, outspec, fspec),
+        in_specs=[espec_f, lspec, hspec],
+        out_specs=(outspec_f, fspec_f, outspec_f, fspec_f),
         out_shape=shapes,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(e_t, lam_pad, h)
+    )(e_pad, lam_pad, h)
 
-    # backward on reversed markers; interval i of the reversed walk is the
-    # original interval M-2-i
-    e_rev = e_t[:, ::-1]
-    lam_rev = jnp.concatenate([lam[::-1], jnp.ones((1, S), dtype=dtype)], 0)
-    bw_rev, bw_rev_f = pl.pallas_call(
+    bw, bw_f = pl.pallas_call(
         functools.partial(_bwd_kernel, S=S, NS=NS, TB=TB, nm=M),
         grid=grid,
-        in_specs=[espec, lspec, hspec],
-        out_specs=(outspec, fspec),
+        in_specs=[espec_b, lspec, hspec],
+        out_specs=(outspec_b, fspec_b),
         out_shape=(shapes[0], shapes[1]),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(e_rev, lam_rev, h)
-    bw = bw_rev[:, ::-1]
-    bw_f = bw_rev_f[:, ::-1]
+    )(e_pad, lam_pad, h)
 
     def arrange(x):
         return jnp.moveaxis(x[:B0], 2, 3)
