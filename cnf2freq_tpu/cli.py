@@ -21,6 +21,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mapfile", help="PlantImpute cM map file")
     p.add_argument("--pedfile", help="PlantImpute pedigree file")
     p.add_argument("--genfile", help="PlantImpute genotype file")
+    p.add_argument("--samplefile", help="ShapeIT-style .sample file")
+    p.add_argument("--bimfile", help="BIM file (with --samplefile)")
+    p.add_argument("--hapfiles", nargs="+",
+                   help="haps files: maximum realization then samples")
+    p.add_argument("--famfile", help="PLINK fam file (with --bedfile)")
+    p.add_argument("--bedfile", help="PLINK bed file (with --famfile)")
+    p.add_argument("--createhapfile",
+                   help="write a phase-corrected haps file and exit")
     p.add_argument("--merlinmap", help="MERLIN map file")
     p.add_argument("--merlinped", help="MERLIN ped file (with genotypes)")
     p.add_argument("--markerinfo", help="ccoeff-style marker info file")
@@ -64,6 +72,24 @@ def main(argv=None) -> int:
 
     if args.mapfile and args.pedfile and args.genfile:
         ped = load_plantimpute(args.mapfile, args.pedfile, args.genfile)
+    elif args.samplefile and args.bimfile and args.hapfiles:
+        from .io.haps import read_haps_full, read_sample
+        from .pedigree import Pedigree
+        ped = Pedigree()
+        samples = read_sample(args.samplefile)
+        read_haps_full(ped, samples, args.bimfile, list(args.hapfiles))
+        if args.famfile and args.bedfile:
+            from .io.plink import read_fam_bed
+            read_fam_bed(ped, args.famfile, args.bedfile)
+        if args.createhapfile:
+            from .io.haps import create_hap_file
+            with open(args.createhapfile, "w") as f:
+                create_hap_file(ped, samples, args.hapfiles[0], f)
+            return 0
+    elif args.hapfiles and not args.samplefile:
+        print("--hapfiles without --samplefile requires pre-loaded "
+              "individuals; combine with another input set", file=sys.stderr)
+        return 2
     elif args.merlinmap and args.merlinped:
         from .io.merlin import read_merlin_map, read_merlin_ped
         from .pedigree import Pedigree

@@ -3,7 +3,10 @@ from .alpha import (load_plantimpute, read_alpha_data, read_alpha_map,
 from .ccoeff import load_ccoeff, read_marker_data, read_marker_info, read_ped
 from .masking import (clear_unprotected, compare_imputed_output,
                       read_protected_individuals, read_protected_markers)
+from .haps import (create_hap_file, read_haps_full, read_haps_only,
+                   read_sample)
 from .merlin import read_merlin_map, read_merlin_ped, write_merlin_ped
+from .plink import read_fam_bed, write_fam_bed
 from .outputs import (deserialize, output_ped, write_genotype_table,
                       write_haplotype_dump)
 
@@ -14,4 +17,6 @@ __all__ = [
     "read_protected_individuals", "read_protected_markers",
     "read_merlin_map", "read_merlin_ped", "write_merlin_ped", "deserialize",
     "output_ped", "write_genotype_table", "write_haplotype_dump",
+    "create_hap_file", "read_haps_full", "read_haps_only", "read_sample",
+    "read_fam_bed", "write_fam_bed",
 ]
