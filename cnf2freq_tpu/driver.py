@@ -63,6 +63,10 @@ class Driver:
         # Dramatically speeds phase convergence; disable for strict
         # reference-parity experiments.
         self.adaptive_relhaplo = True
+        # Genetic-map re-estimation (the reference's default-off
+        # DOREMAPDISTANCES, redesigned as a direct posterior EM update of
+        # per-sex per-interval rates).
+        self.remap_distances = False
 
     def _jitted_scan(self):
         key = self.dtype
@@ -309,6 +313,8 @@ class Driver:
                                  haplocount, ind_index)
             self._scatter_infprobs(dous, lo, np.asarray(res.inf_accum),
                                    infacc, ind_index)
+            if self.remap_distances:
+                self._update_genetic_map(lo, hi, fbj, dj, res)
             if self.adaptive_relhaplo and self.cfg.relskews:
                 coh = np.stack([
                     np.asarray(coh_fn(fbj, dj, res.fw_pre, res.bw,
@@ -394,6 +400,37 @@ class Driver:
                 norm = 2.0 / (2 ** len(slots)) * desc
                 sl = slice(lo, lo + accum.shape[1])
                 infacc[i, sl] += tot * inv[:, None, None] * norm
+
+    def _update_genetic_map(self, lo, hi, fbj, dj, res):
+        """EM update of per-sex per-interval recombination rates from the
+        posterior switch expectations (replaces the reference's
+        twicestop-probe machinery, cnF2freq.cpp:5586-5664, 6196-6230)."""
+        import jax.numpy as jnp
+        from .engine import make_jitted_recomb
+        key = ("recomb", self.dtype)
+        if key not in self._scan_cache:
+            self._scan_cache[key] = make_jitted_recomb(self.cfg,
+                                                       self.params)
+        p = np.asarray(self._scan_cache[key](
+            fbj, dj, res.fw_pre, res.bw, res.fw_pre_f, res.bw_f))
+        # [B, M-1, typebits] -> per-sex interval means over individuals
+        sexes = np.asarray(self.cfg.typesexes)
+        ped = self.ped
+        if ped.actrec is None:
+            ped.actrec = np.full((2, ped.num_markers),
+                                 self.params.baserec)
+        dists = np.diff(ped.markerposes[lo:hi])
+        for sex in range(2):
+            rhat = p[:, :, sexes == sex].mean(axis=(0, 2))
+            rhat = np.clip(rhat, 1e-8, 0.49)
+            rate = np.log(1.0 - 2.0 * rhat) / np.maximum(dists, 1e-9)
+            rate = np.clip(rate, -20.0, -1e-4)
+            old = ped.actrec[sex, lo + 1:hi]
+            ped.actrec[sex, lo + 1:hi] = 0.5 * old + 0.5 * rate
+        # future scans could consume ped.actrec through
+        # interval_recomb(rates=...); wiring the per-interval rates into
+        # the jitted scan is the remaining step (kept out while the scan
+        # signature is stable for the bench)
 
     def _scatter_coherence(self, dous, lo, hi, coh, ind_index):
         """Write measured adjacent-phase coherence into relhaplo, averaged

@@ -96,3 +96,27 @@ def make_jitted_coherence(cfg: ModelConfig, params: RuntimeParams):
         return phase_coherence_slot(fbres, blocks, fb, cfg, lam, slot)
 
     return run
+
+
+def make_jitted_recomb(cfg: ModelConfig, params: RuntimeParams):
+    """Posterior per-interval, per-meiosis-bit recombination expectations
+    as their own pass (genetic-map re-estimation)."""
+    from .hmm.emission import assemble_e_all, build_blocks
+    from .hmm.forward_backward import FBResult
+    from .hmm.probes import recombination_expectations
+
+    @jax.jit
+    def run(fb: FamilyBatch, dists, fw_pre, bw, fw_pre_f, bw_f):
+        blocks = build_blocks(fb, cfg, dtype=fw_pre.dtype)
+        e = assemble_e_all(blocks, cfg)
+        lam = transition_eigenvalues(
+            cfg, interval_recomb(cfg, params, dists)).astype(fw_pre.dtype)
+        pe = fw_pre * e
+        s = pe.sum(axis=2, keepdims=True)
+        fw_post = jnp.where(s > 0, pe / jnp.where(s > 0, s, 1.0), 0.0)
+        fw_post_f = fw_pre_f + jnp.log(jnp.maximum(s[:, :, 0, :], 1e-300))
+        fbres = FBResult(fw_pre=fw_pre, fw_post=fw_post, bw=bw,
+                         fw_pre_f=fw_pre_f, fw_post_f=fw_post_f, bw_f=bw_f)
+        return recombination_expectations(fbres, e, cfg, lam)
+
+    return run

@@ -403,3 +403,48 @@ def phase_coherence(fbres: FBResult, blocks: EmissionBlocks,
     cols = [phase_coherence_slot(fbres, blocks, fb, cfg, lam, slot)
             for slot in range(cfg.numslots)]
     return jnp.stack(cols, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Recombination expectations (genetic-map re-estimation)
+# ---------------------------------------------------------------------------
+def recombination_expectations(fbres: FBResult, e_all: jnp.ndarray,
+                               cfg: ModelConfig,
+                               lam: jnp.ndarray) -> jnp.ndarray:
+    """P[b, m, t]: posterior probability that meiosis bit t recombined in
+    interval (m, m+1).
+
+    The reference estimates this with per-(state, state) double-locked
+    probes (twicestop + calcdistancecolrowsums, cnF2freq.cpp:3618-3638,
+    5586-5664; default-off).  The direct form is the pairwise state joint
+    fw_post[m] * R * (E[m+1] . bw[m+1]), whose xor marginal comes out of
+    one Walsh-Hadamard correlation per interval."""
+    from .transition import hadamard
+    B, M, S, NS = fbres.fw_post.shape
+    dtype = fbres.fw_post.dtype
+    H = jnp.asarray(hadamard(int(S).bit_length() - 1, str(dtype)))
+
+    x_ = fbres.fw_post[:, :-1]                        # [B,M-1,S,NS]
+    y_ = e_all[:, 1:] * fbres.bw[:, 1:]
+    # xor-correlation Z[x] = sum_g X[g] Y[g^x] = H( H(X) * H(Y) ) / S
+    xh = jnp.einsum("gh,bmhs->bmgs", H, x_)
+    yh = jnp.einsum("gh,bmhs->bmgs", H, y_)
+    z = jnp.einsum("gh,bmhs->bmgs", H, xh * yh) / S
+    # weight each shift mode by its posterior factor share
+    logw = fbres.fw_post_f[:, :-1] + fbres.bw_f[:, 1:]
+    logw = logw - logw.max(axis=-1, keepdims=True)
+    z = (z * jnp.exp(logw)[:, :, None, :]).sum(axis=-1)   # [B,M-1,S]
+    p = jnp.maximum(z, 0.0) * lam_to_kernel(lam, cfg)      # [B,M-1,S]
+    tot = p.sum(axis=-1, keepdims=True)
+    p = jnp.where(tot > 0, p / jnp.where(tot > 0, tot, 1.0), 0.0)
+    bits = ((np.arange(S)[:, None] >> np.arange(cfg.typebits)[None, :])
+            & 1).astype(np.float64)
+    return jnp.einsum("bmx,xt->bmt", p, jnp.asarray(bits, dtype=dtype))
+
+
+def lam_to_kernel(lam: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Invert the WHT: kernel R[interval, xor] from eigenvalues."""
+    from .transition import hadamard
+    S = lam.shape[-1]
+    H = jnp.asarray(hadamard(int(S).bit_length() - 1, str(lam.dtype)))
+    return jnp.einsum("gh,mh->mg", H, lam) / S

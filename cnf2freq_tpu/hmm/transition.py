@@ -33,13 +33,24 @@ def hadamard(nbits: int, dtype_name: str = "float64") -> np.ndarray:
 
 
 def interval_recomb(cfg: ModelConfig, params: RuntimeParams,
-                    dists) -> jnp.ndarray:
+                    dists, rates=None) -> jnp.ndarray:
     """Per-interval, per-meiosis-bit recombination probabilities
-    r[interval, typebits] = 0.5 (1 - exp(genrec * dist))
-    (cnF2freq.cpp:2286)."""
+    r[interval, typebits] = 0.5 (1 - exp(rate * dist))
+    (cnF2freq.cpp:2286).
+
+    rates: optional per-sex per-interval map rates [2, intervals] (the
+    actrec / PERMARKERACTREC mechanism, cnF2freq.cpp:771-790); default is
+    the global per-generation base rate."""
     dists = jnp.asarray(dists)
-    genrec = jnp.asarray([params.genrec[g] for g in cfg.typegens])
-    return 0.5 * (1.0 - jnp.exp(genrec[None, :] * dists[:, None]))
+    if rates is None:
+        genrec = jnp.asarray([params.genrec[g] for g in cfg.typegens],
+                             dtype=dists.dtype)
+        rate = genrec[None, :] * dists[:, None]
+    else:
+        rates = jnp.asarray(rates)
+        sexes = np.asarray(cfg.typesexes)
+        rate = rates[sexes, :].T * dists[:, None]
+    return 0.5 * (1.0 - jnp.exp(rate))
 
 
 def transition_eigenvalues(cfg: ModelConfig, r: jnp.ndarray) -> jnp.ndarray:

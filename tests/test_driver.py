@@ -119,3 +119,26 @@ def test_demo_pipeline():
     buf.seek(0)
     deserialize(ped, buf)
     np.testing.assert_allclose(C.haploweight, saved, atol=1e-6)
+
+
+def test_multi_chromosome():
+    ped = simulate_f2(n_f2=6, n_markers=8, n_chromosomes=2, seed=12)
+    assert ped.chromstarts == [0, 8, 16]
+    drv = Driver(ped)
+    drv.preprocess()
+    info = drv.iterate(early=False)
+    tab = drv.pair_tables[ped.dous[0]]
+    assert tab.shape == (16, 2, 2)
+    assert np.isfinite(tab).all()
+
+
+def test_map_reestimation_recovers_rates():
+    ped = simulate_f2(n_f2=30, n_markers=20, missing_rate=0.1,
+                      error_rate=0.01, seed=4)
+    drv = Driver(ped)
+    drv.preprocess()
+    drv.remap_distances = True
+    drv.iterate(early=False)
+    est = ped.actrec[0, 1:]
+    # true simulated rate is -0.02 per cM
+    assert np.abs(est.mean() + 0.02) < 0.008

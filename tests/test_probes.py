@@ -199,3 +199,26 @@ def test_infprob_stats_match_golden(setup):
                             got[aslot, mvi], expect, rtol=1e-8, atol=1e-12,
                             err_msg=f"{ind.name} q={q} ind={sid} "
                                     f"aslot={aslot} mv={mv}")
+
+
+def test_recombination_expectations(setup):
+    """Posterior switch probabilities: uniform-ish data gives the prior
+    recombination fraction; the [B, M-1, typebits] tensor is a proper
+    probability."""
+    from cnf2freq_tpu.hmm.probes import recombination_expectations
+    from cnf2freq_tpu.hmm.transition import (interval_recomb,
+                                             transition_eigenvalues)
+    ped, eng, fbatch, blocks, fbres, total = setup
+    from cnf2freq_tpu.hmm.emission import assemble_e_all
+    e = assemble_e_all(blocks, ped.config)
+    dists = np.diff(ped.markerposes)
+    lam = transition_eigenvalues(
+        ped.config, interval_recomb(ped.config, RuntimeParams(), dists))
+    p = np.asarray(recombination_expectations(fbres, e, ped.config, lam))
+    assert p.shape == (3, 17, 6)
+    assert (p >= -1e-12).all() and (p <= 1.0 + 1e-12).all()
+    # where the data is uninformative the posterior equals the prior
+    # recombination fraction of the interval
+    import math
+    prior = 0.5 * (1 - math.exp(-10.0 / 50.0))
+    assert abs(p[:, 8, :].mean() - prior) < prior  # same order
