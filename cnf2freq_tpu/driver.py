@@ -67,6 +67,9 @@ class Driver:
         # DOREMAPDISTANCES, redesigned as a direct posterior EM update of
         # per-sex per-interval rates).
         self.remap_distances = False
+        # Stream analysis units through the device in chunks of this size
+        # (None = whole cohort in one scan); bounds HBM for large cohorts.
+        self.batch_size = None
 
     def _jitted_scan(self):
         key = self.dtype
@@ -294,36 +297,55 @@ class Driver:
         haplobase = np.zeros((NI, M))
         haplocount = np.zeros((NI, M))
         infacc = np.zeros((NI, M, 2, 2))
+        coh_num = np.zeros((NI, M))
+        coh_den = np.zeros((NI, M))
         winners: List[Optional[FlipCandidate]] = []
 
         for c in range(ped.num_chromosomes):
             lo, hi = ped.chromosome_range(c)
             for n in dous:
                 ped.by_id(n).lastinved[c] = -1
-            fbatch = gather_family(ped, dous, lo, hi - 1, dtype=self.dtype)
-            dists = np.diff(ped.markerposes[lo:hi]).astype(self.dtype)
             scan_fn, coh_fn = self._jitted_scan()
-            fbj = fbatch.map(jnp.asarray)
+            dists = np.diff(ped.markerposes[lo:hi]).astype(self.dtype)
             dj = jnp.asarray(dists)
-            res = scan_fn(fbj, dj)
-            self._store_pair_tables(dous, lo, np.asarray(res.pair))
 
-            self._scatter_haplos(dous, lo, np.asarray(res.haplo_b12),
-                                 np.asarray(res.haplo_mask), haplobase,
-                                 haplocount, ind_index)
-            self._scatter_infprobs(dous, lo, np.asarray(res.inf_accum),
-                                   infacc, ind_index)
-            if self.remap_distances:
-                self._update_genetic_map(lo, hi, fbj, dj, res)
-            if self.adaptive_relhaplo and self.cfg.relskews:
-                coh = np.stack([
-                    np.asarray(coh_fn(fbj, dj, res.fw_pre, res.bw,
-                                      res.fw_pre_f, res.bw_f, slot))
-                    for slot in range(self.cfg.numslots)], axis=-1)
-                self._scatter_coherence(dous, lo, hi, coh, ind_index)
+            # analysis units stream through the device in fixed-size
+            # chunks: one compiled program, bounded HBM at any cohort size
+            bs = self.batch_size or len(dous)
+            weight_parts = []
+            for b0 in range(0, len(dous), bs):
+                chunk = dous[b0:b0 + bs]
+                fbatch = gather_family(ped, chunk, lo, hi - 1,
+                                       dtype=self.dtype)
+                if len(chunk) < bs:
+                    from .parallel.mesh import pad_batch
+                    fbatch = pad_batch(fbatch, bs)
+                fbj = fbatch.map(jnp.asarray)
+                res = scan_fn(fbj, dj)
+                nb = len(chunk)
+                self._store_pair_tables(chunk, lo,
+                                        np.asarray(res.pair)[:nb])
+                self._scatter_haplos(chunk, lo,
+                                     np.asarray(res.haplo_b12)[:nb],
+                                     np.asarray(res.haplo_mask)[:nb],
+                                     haplobase, haplocount, ind_index)
+                self._scatter_infprobs(chunk, lo,
+                                       np.asarray(res.inf_accum)[:nb],
+                                       infacc, ind_index)
+                if self.remap_distances:
+                    self._update_genetic_map(lo, hi, fbj, dj, res)
+                if self.adaptive_relhaplo and self.cfg.relskews:
+                    coh = np.stack([
+                        np.asarray(coh_fn(fbj, dj, res.fw_pre, res.bw,
+                                          res.fw_pre_f, res.bw_f, slot))
+                        for slot in range(self.cfg.numslots)], axis=-1)
+                    self._scatter_coherence(chunk, lo, coh[:nb],
+                                            ind_index, coh_num, coh_den)
+                if not early:
+                    weight_parts.append(np.array(res.turn_weight)[:nb])
 
             if not early:
-                weights = np.array(res.turn_weight)
+                weights = np.concatenate(weight_parts, axis=0)
                 weights = self._apply_skewterms(dous, lo, hi, weights,
                                                 haplobase, haplocount,
                                                 ind_index)
@@ -334,6 +356,15 @@ class Driver:
                                 ind_index)
             else:
                 winners.append(None)
+
+        if self.adaptive_relhaplo and self.cfg.relskews:
+            got = coh_den > 0
+            vals = np.where(got, coh_num / np.maximum(coh_den, 1), 0.5)
+            for n, i in ind_index.items():
+                ind = ped.by_id(n)
+                if ind.relhaplo is not None and got[i].any():
+                    ind.relhaplo[got[i]] = np.clip(vals[i, got[i]], 1e-4,
+                                                   1 - 1e-4)
 
         any_inv = any(w is not None for w in winners)
         sf = 0.0 if any_inv else st.scalefactor
@@ -432,27 +463,21 @@ class Driver:
         # the jitted scan is the remaining step (kept out while the scan
         # signature is stable for the bench)
 
-    def _scatter_coherence(self, dous, lo, hi, coh, ind_index):
-        """Write measured adjacent-phase coherence into relhaplo, averaged
-        over every slot appearance, weighted by the focal's descendants."""
+    def _scatter_coherence(self, dous, lo, coh, ind_index, coh_num,
+                           coh_den):
+        """Accumulate measured adjacent-phase coherence per individual,
+        weighted by the focal's descendants; written into relhaplo after
+        the full cohort has streamed through."""
         ped = self.ped
         M = coh.shape[1]
-        num = np.zeros((len(ind_index), M))
-        den = np.zeros((len(ind_index), M))
+        sl = slice(lo, lo + M)
         for b, n in enumerate(dous):
             desc = ped.by_id(n).descendants
             for sid, slots in self._unique_members(n).items():
                 i = ind_index[sid]
                 for s in slots:
-                    num[i] += desc * coh[b, :, s]
-                    den[i] += desc
-        for sid, i in ind_index.items():
-            ind = ped.by_id(sid)
-            if ind.relhaplo is None:
-                continue
-            got = den[i] > 0
-            vals = np.where(got, num[i] / np.maximum(den[i], 1), 0.5)
-            ind.relhaplo[lo:lo + M] = np.clip(vals, 1e-4, 1 - 1e-4)
+                    coh_num[i, sl] += desc * coh[b, :, s]
+                    coh_den[i, sl] += desc
 
     def _apply_skewterms(self, dous, lo, hi, weights, haplobase, haplocount,
                          ind_index):
