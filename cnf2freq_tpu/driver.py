@@ -70,6 +70,9 @@ class Driver:
         # Stream analysis units through the device in chunks of this size
         # (None = whole cohort in one scan); bounds HBM for large cohorts.
         self.batch_size = None
+        # Flip-solver budget: at most this many top-gain markers get a
+        # joint solve per chromosome per iteration.
+        self.max_flip_markers = 16
 
     def _jitted_scan(self):
         key = self.dtype
@@ -122,31 +125,52 @@ class Driver:
             md[take, p] = pm[take, 0]
             ms[take, p] = 0.5
 
-    def _feasibility(self):
+    def _feasibility_fn(self):
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def run(fb):
+            blocks = build_blocks(fb, self.cfg, ci=True,
+                                  dtype=fb.ms.dtype)
+            pb0 = blocks.pb[0].sum(axis=-2)   # [B, M, r, fp, sk]
+            pb1 = blocks.pb[1].sum(axis=-2)
+            e = (blocks.froot[:, :, :, None, None, 0]
+                 * pb0[:, :, :, :, None, 0]
+                 * pb1[:, :, :, None, :, 0])
+            ok = (e > 0).any(axis=(3, 4))
+            ok_top = blocks.top[:, :, :, 0] > 0
+            attop = blocks.focal_attop[:, None, None]
+            return jnp.where(attop, ok_top, ok)
+
+        return run
+
+    def _feasibility(self, chunk: int = 1024):
         """okvals[ind, m, r]: is any inheritance path with the focal's
         allele slot r as primary interpretation feasible (fixparents check,
-        cnF2freq.cpp:1412-1428).  Evaluated at shift 0, all paths."""
+        cnF2freq.cpp:1412-1428).  Evaluated at shift 0, all paths; jitted
+        and chunked over individuals."""
+        import jax.numpy as jnp
         ped = self.ped
         ids = [ind.n for ind in ped.inds[1:]]
-        fb = gather_family(ped, ids, 0, ped.num_markers - 1,
-                           dtype=self.dtype)
-        blocks = build_blocks(fb, self.cfg, ci=True)
-        pb0 = np.asarray(blocks.pb[0].sum(axis=-2))   # [B, M, r, fp, sk]
-        pb1 = np.asarray(blocks.pb[1].sum(axis=-2))
-        froot = np.asarray(blocks.froot)
-        top = np.asarray(blocks.top)
-        # any state with positive emission, per r, at shift 0
-        e = (froot[:, :, :, None, None, 0]
-             * pb0[:, :, :, :, None, 0]
-             * pb1[:, :, :, None, :, 0])
-        ok = (e > 0).any(axis=(3, 4))
-        ok_top = top[:, :, :, 0] > 0
-        attop = np.asarray(blocks.focal_attop)[:, None, None]
-        return ids, np.where(attop, ok_top, ok)
+        if "feas" not in self._scan_cache:
+            self._scan_cache["feas"] = self._feasibility_fn()
+        run = self._scan_cache["feas"]
+        parts = []
+        from .parallel.mesh import pad_batch
+        for b0 in range(0, len(ids), chunk):
+            sub = ids[b0:b0 + chunk]
+            fb = gather_family(ped, sub, 0, ped.num_markers - 1,
+                               dtype=self.dtype)
+            if len(sub) < chunk and len(ids) > chunk:
+                fb = pad_batch(fb, chunk)
+            parts.append(np.asarray(run(fb.map(jnp.asarray)))[:len(sub)])
+        return ids, np.concatenate(parts, axis=0)
 
     def _fixparents_round(self) -> int:
         """One correction round: propagate child genotypes to parents and
         resolve (cnF2freq.cpp:1392-1467, 3282-3357)."""
+        import jax.numpy as jnp
         ped = self.ped
         ids, ok = self._feasibility()
         M = ped.num_markers
@@ -221,49 +245,63 @@ class Driver:
                 md[swap] = md[swap][:, ::-1]
         return any_corr
 
-    def _compute_variances(self):
+    def _variance_fn(self):
+        import jax
+        import jax.numpy as jnp
+        from .config import ZP_NO_EQUIVALENCE
+
+        @jax.jit
+        def run(fb):
+            V = [(((fb.flag2ignore[:, None] >> (1 + 3 * k)) & 7)
+                  & np.arange(8)[None, :] == 0).astype(fb.ms.dtype)
+                 for k in range(2)]
+            sq = jnp.zeros(fb.hw.shape[0::2], dtype=fb.ms.dtype)
+            for side in range(2):
+                terms = []
+                for a in range(2):
+                    blocks = build_blocks(
+                        fb, self.cfg, ci=True, zp=ZP_NO_EQUIVALENCE,
+                        inval=fb.md[:, 0, :, a], insv=fb.ms[:, 0, :, a],
+                        side=side, dtype=fb.ms.dtype)
+                    p0 = jnp.einsum("zmrfps,zp->zmrs", blocks.pb[0], V[0])
+                    p1 = jnp.einsum("zmrfps,zp->zmrs", blocks.pb[1], V[1])
+                    t = jnp.einsum("zmrt,zmru,zmrv->zmrtuv",
+                                   blocks.froot, p0, p1)
+                    ttop = jnp.broadcast_to(
+                        blocks.top[:, :, :, :, None, None], t.shape)
+                    att = blocks.focal_attop[:, None, None, None, None,
+                                             None]
+                    terms.append(jnp.where(att, ttop, t))
+                # one squared allele-difference sum per (r0=f0, s0=shift
+                # in {0,1}); shift bits s1=s2=0 (addvariance loops
+                # shiftflagmode over {0,1} only, cnF2freq.cpp:1510)
+                d = terms[1] - terms[0]
+                sq = sq + (d[..., 0, 0] ** 2).sum(axis=(2, 3))
+            return sq
+
+        return run
+
+    def _compute_variances(self, chunk: int = 1024):
         """addvariance for every individual (cnF2freq.cpp:1489-1558):
         per-marker informativeness from NO_EQUIVALENCE allele-difference
-        probes, feeding the phase-anchor choice."""
-        from .config import ZP_NO_EQUIVALENCE
+        probes, feeding the phase-anchor choice.  Jitted + chunked."""
         import jax.numpy as jnp
+        from .parallel.mesh import pad_batch
         ped = self.ped
         ids = [ind.n for ind in ped.inds[1:]
                if ind.haploweight is not None]
-        fb = gather_family(ped, ids, 0, ped.num_markers - 1,
-                           dtype=self.dtype)
-        V = [np.asarray(((fb.flag2ignore[:, None] >> (1 + 3 * k)) & 7)
-                        & np.arange(8)[None, :]) == 0 for k in range(2)]
-        sq = np.zeros((len(ids), ped.num_markers))
-        for side in range(2):
-            terms = []
-            for a in range(2):
-                inval = jnp.asarray(fb.md[:, 0, :, a])
-                insv = jnp.asarray(fb.ms[:, 0, :, a])
-                blocks = build_blocks(fb, self.cfg, ci=True,
-                                      zp=ZP_NO_EQUIVALENCE, inval=inval,
-                                      insv=insv, side=side,
-                                      dtype=self.dtype)
-                pb0 = np.asarray(blocks.pb[0])
-                pb1 = np.asarray(blocks.pb[1])
-                p0 = np.einsum("zmrfps,zp->zmrs", pb0, V[0].astype(float))
-                p1 = np.einsum("zmrfps,zp->zmrs", pb1, V[1].astype(float))
-                froot = np.asarray(blocks.froot)
-                t = np.einsum("zmrt,zmru,zmrv->zmrtuv", froot, p0, p1)
-                # founder focal: top term only
-                ttop = np.asarray(blocks.top)
-                ttop = np.broadcast_to(
-                    ttop[:, :, :, :, None, None], t.shape)
-                att = np.asarray(blocks.focal_attop)[:, None, None, None,
-                                                     None, None]
-                terms.append(np.where(att, ttop, t))
-            # one squared allele-difference sum per (r0=f0, s0=shift in
-            # {0,1}); shift bits s1=s2=0 (addvariance loops shiftflagmode
-            # over {0,1} only, cnF2freq.cpp:1510)
-            d = terms[1] - terms[0]
-            sq += (d[..., 0, 0] ** 2).sum(axis=(2, 3))
-        for bi, n in enumerate(ids):
-            ped.by_id(n).variances[:] = sq[bi]
+        if "var" not in self._scan_cache:
+            self._scan_cache["var"] = self._variance_fn()
+        run = self._scan_cache["var"]
+        for b0 in range(0, len(ids), chunk):
+            sub = ids[b0:b0 + chunk]
+            fb = gather_family(ped, sub, 0, ped.num_markers - 1,
+                               dtype=self.dtype)
+            if len(sub) < chunk and len(ids) > chunk:
+                fb = pad_batch(fb, chunk)
+            sq = np.asarray(run(fb.map(jnp.asarray)))
+            for bi, n in enumerate(sub):
+                ped.by_id(n).variances[:] = sq[bi]
 
     def _lockhaplos(self, ind, c: int):
         """Anchor the phase at the most informative marker
@@ -483,59 +521,53 @@ class Driver:
                          ind_index):
         """Relative-skew clause adjustment (calcskewterms + weight update,
         cnF2freq.cpp:4469-4531, 5929-5959): subtract the focal's skew term
-        from every turn flipping the focal."""
+        from every turn flipping the focal.  Vectorized over markers."""
         if not self.cfg.relskews:
             return weights
         ped = self.ped
         focal_bit = 1 << (self.cfg.turnbits - 1)
+        tsel = (np.arange(self.cfg.numturns) & focal_bit) > 0
+        Mi = hi - lo - 1
+
+        def slog(x):
+            return np.log(np.maximum(x, 1e-323))
+
         for b, n in enumerate(dous):
             ind = ped.by_id(n)
             i = ind_index[n]
             hw = ind.haploweight[lo:hi]
-            rh = ind.relhaplo[lo:hi]
+            rh = ind.relhaplo[lo:hi][:Mi]
             hb = haplobase[i, lo:hi]
             hc = haplocount[i, lo:hi]
             desc = ind.descendants
-            for m in range(hi - lo - 1):
-                skew = 0.0
-                for ix in range(2):
-                    w_ = hw[m + 1 - ix]
-                    wo = hw[m + ix]
-                    r_ = rh[m]
-                    val = wo
-                    now = (w_ * val * (_safe_log(r_) + _safe_log(w_) +
-                                       _safe_log(wo)) +
-                           (1 - w_) * (1 - val) * (_safe_log(r_) +
-                                                   _safe_log(1 - w_) +
-                                                   _safe_log(1 - wo)) +
-                           w_ * (1 - val) * (_safe_log(1 - r_) +
-                                             _safe_log(w_) +
-                                             _safe_log(1 - wo)) +
-                           (1 - w_) * val * (_safe_log(1 - r_) +
-                                             _safe_log(1 - w_) +
-                                             _safe_log(wo)))
-                    then = ((1 - w_) * val * (_safe_log(r_) +
-                                              _safe_log(1 - w_) +
-                                              _safe_log(wo)) +
-                            w_ * (1 - val) * (_safe_log(r_) +
-                                              _safe_log(w_) +
-                                              _safe_log(1 - wo)) +
-                            (1 - w_) * (1 - val) * (_safe_log(1 - r_) +
-                                                    _safe_log(1 - w_) +
-                                                    _safe_log(1 - wo)) +
-                            w_ * val * (_safe_log(1 - r_) +
-                                        _safe_log(w_) + _safe_log(wo)))
-                    skew -= then - now
-                    if hc[m + ix]:
-                        gonext = hb[m + ix] / hc[m + ix]
-                        skew += 25000.0 if (gonext - w_) * (w_ - 0.5) < 0 \
-                            else 0.0
-                w = skew * 0.5
-                if not math.isfinite(w) or abs(w) > 25000:
-                    w = -25000.0 if w < -25000 else 25000.0
-                tmask = np.arange(self.cfg.numturns)
-                sel = (tmask & focal_bit) > 0
-                weights[b, m, sel] -= w * desc
+            skew = np.zeros(Mi)
+            for ix in range(2):
+                w_ = hw[1 - ix:Mi + 1 - ix]
+                wo = hw[ix:Mi + ix]
+                lrh, l1rh = slog(rh), slog(1 - rh)
+                lw, l1w = slog(w_), slog(1 - w_)
+                lo_, l1o = slog(wo), slog(1 - wo)
+                val = wo
+                now = (w_ * val * (lrh + lw + lo_) +
+                       (1 - w_) * (1 - val) * (lrh + l1w + l1o) +
+                       w_ * (1 - val) * (l1rh + lw + l1o) +
+                       (1 - w_) * val * (l1rh + l1w + lo_))
+                then = ((1 - w_) * val * (lrh + l1w + lo_) +
+                        w_ * (1 - val) * (lrh + lw + l1o) +
+                        (1 - w_) * (1 - val) * (l1rh + l1w + l1o) +
+                        w_ * val * (l1rh + lw + lo_))
+                skew -= then - now
+                hcx = hc[ix:Mi + ix]
+                hbx = hb[ix:Mi + ix]
+                gonext = np.where(hcx > 0, hbx / np.maximum(hcx, 1e-300),
+                                  0.0)
+                skew += np.where((hcx > 0) &
+                                 ((gonext - w_) * (w_ - 0.5) < 0),
+                                 25000.0, 0.0)
+            w = skew * 0.5
+            w = np.where(np.isfinite(w), w, np.sign(w) * 25000.0)
+            w = np.clip(w, -25000.0, 25000.0)
+            weights[b, :Mi, :][:, tsel] -= (w * desc)[:, None]
         return weights
 
     # -- flip optimisation ----------------------------------------------
@@ -558,12 +590,27 @@ class Driver:
             S, _, varlist = pattern_scores(fc)
             fams_static.append((varlist, S))
 
+        # vectorized quick skip: only markers where some family shows a
+        # positive-gain pattern get a joint solve, and within such a
+        # marker only the gainful families' components are solved
+        # (the reference's fakegain pre-check, cnF2freq.cpp:5996-6021)
+        gains = np.stack([np.nanmax(S, axis=1) - S[:, 0]
+                          for _, S in fams_static])          # [B, M]
+        marker_gain = np.where(gains > 1e-12, gains, 0.0).sum(axis=0)
+        hot_markers = np.where(marker_gain > 1e-12)[0]
+        # only one combined winner is applied per chromosome per
+        # iteration: solving the top-gain markers suffices and bounds the
+        # host solver cost on large cohorts
+        if hot_markers.size > self.max_flip_markers:
+            top = np.argsort(marker_gain[hot_markers])
+            hot_markers = hot_markers[top[-self.max_flip_markers:]]
+
         cands: List[FlipCandidate] = []
-        for m in range(hi - lo - 1):
-            fams = [(varlist, S[m]) for varlist, S in fams_static]
-            # quick skip: no family has a positive-gain pattern
-            if all(S[m].max() <= S[m][0] + 1e-12 for _, S in fams_static):
-                continue
+        for m in hot_markers:
+            hot = np.where(gains[:, m] > 1e-12)[0]
+            hotvars = {v for b in hot for v in fams_static[b][0]}
+            fams = [(varlist, S[m]) for varlist, S in fams_static
+                    if hotvars & set(varlist)]
             assign = solve_marker(fams)
             if not assign:
                 continue

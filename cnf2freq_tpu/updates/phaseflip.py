@@ -82,13 +82,10 @@ def pattern_scores(clauses: FamilyClauses) -> Tuple[np.ndarray, np.ndarray,
     varlist = [clauses.members[b] for b in varbits]
     P = 1 << len(varbits)
     M, T = clauses.weights.shape
+    t_ = np.arange(T)
     pat_of_turn = np.zeros(T, dtype=np.int64)
-    for t in range(T):
-        p = 0
-        for i, b in enumerate(varbits):
-            if (t >> b) & 1:
-                p |= 1 << i
-        pat_of_turn[t] = p
+    for i, b in enumerate(varbits):
+        pat_of_turn |= ((t_ >> b) & 1) << i
     S = np.zeros((M, P))
     np.add.at(S.T, pat_of_turn[clauses.turn_allowed],
               clauses.weights[:, clauses.turn_allowed].T)
@@ -126,7 +123,7 @@ def _components(fams: Sequence[Tuple[List[int], np.ndarray]]
 
 
 def solve_marker(fams: Sequence[Tuple[List[int], np.ndarray]],
-                 exhaustive_limit: int = 14, icm_restarts: int = 4,
+                 exhaustive_limit: int = 13, icm_restarts: int = 2,
                  rng: Optional[np.random.Generator] = None
                  ) -> Dict[int, bool]:
     """Best joint flip assignment for one marker.
@@ -159,37 +156,41 @@ def solve_marker(fams: Sequence[Tuple[List[int], np.ndarray]],
                 if (best_a >> i) & 1:
                     assign[v] = True
         else:
+            # ICM with a var -> families index so each coordinate update
+            # only touches its own families
+            byvar = [[] for _ in range(n)]
+            for fi2, (pos, S) in enumerate(fam_masks):
+                for vp in set(pos.tolist()):
+                    byvar[vp].append(fi2)
+
+            def fam_score(fi2, vec):
+                pos, S = fam_masks[fi2]
+                p = 0
+                for k, vp in enumerate(pos):
+                    if vec[vp]:
+                        p |= 1 << k
+                return S[p]
+
             best_vec, best_score = None, -np.inf
             for r in range(icm_restarts):
                 vec = np.zeros(n, dtype=bool) if r == 0 else \
                     rng.random(n) < 0.3
-                for _ in range(30):
+                for _ in range(12):
                     changed = False
                     for i in range(n):
                         sc = [0.0, 0.0]
                         for flip in (False, True):
                             vec[i] = flip
-                            for pos, S in fam_masks:
-                                if i not in pos:
-                                    continue
-                                p = 0
-                                for k, vp in enumerate(pos):
-                                    if vec[vp]:
-                                        p |= 1 << k
-                                sc[flip] += S[p]
+                            for fi2 in byvar[i]:
+                                sc[flip] += fam_score(fi2, vec)
                         better = sc[1] > sc[0]
                         if vec[i] != better:
                             changed = True
                         vec[i] = better
                     if not changed:
                         break
-                total = 0.0
-                for pos, S in fam_masks:
-                    p = 0
-                    for k, vp in enumerate(pos):
-                        if vec[vp]:
-                            p |= 1 << k
-                    total += S[p]
+                total = sum(fam_score(fi2, vec)
+                            for fi2 in range(len(fam_masks)))
                 if total > best_score:
                     best_score, best_vec = total, vec.copy()
             for v, i in vidx.items():
