@@ -70,11 +70,11 @@ class ModelConfig:
             object.__setattr__(self, "typegens", self._default_typegens())
         assert len(self.typesexes) == self.typebits
         assert len(self.typegens) == self.typebits
-        if self.selfing or self.relskewstates:
+        if self.relskewstates:
             raise NotImplementedError(
-                "selfing/relskewstates state-space extensions land in a later "
-                "milestone; the core engine is written against the base "
-                "state space")
+                "the relskewstates state-bit extension lands in a later "
+                "milestone; RELSKEWS smoothing itself is implemented "
+                "(updates/relskew.py)")
 
     # -- state-space dimensions -------------------------------------------
     @property
@@ -107,9 +107,31 @@ class ModelConfig:
     def numturns(self) -> int:
         return 1 << self.turnbits
 
+    # -- selfing extension (settings.h:8,14,25-46) -------------------------
+    # Two extra state bits encode HBD ("homozygous by descent") status of
+    # the focal individual in selfed lines: selfval 0 = ordinary F2 state,
+    # 1 / 2 = the two strands are copies, carried on interpretation slot
+    # 0 / 1.  The double-bit value 3 is invalid (VALIDSELFNUMTYPES,
+    # settings.h:46), so the state space is numtypes * 3.
+    @property
+    def selfbits(self) -> int:
+        return 2 if self.selfing else 0
+
+    @property
+    def numselfstates(self) -> int:
+        """Valid selfing values (0..2); 1 when selfing is off."""
+        return 3 if self.selfing else 1
+
+    @property
+    def numstates(self) -> int:
+        """Full valid state count including selfing extension."""
+        return self.numtypes * self.numselfstates
+
     @property
     def evengen(self) -> float:
-        return 1.0 / self.numtypes
+        # EVENGEN = 1/NUMTYPES where NUMTYPES counts the *padded* space
+        # 2**(typebits + selfbits) (settings.h:27-28)
+        return 1.0 / (self.numtypes << self.selfbits)
 
     # -- family-tree slot layout ------------------------------------------
     # Slots follow the reference's flag2-bit layout (fixtrees,

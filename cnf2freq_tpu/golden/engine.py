@@ -113,23 +113,51 @@ class GoldenEngine:
         ms = ind.markersure[marker]
         ok = 0.0
 
+        # Selfing: at the root generation a nonzero selfval collapses the
+        # observed genotype into a synthetic homozygous-by-descent pair
+        # carried on interpretation slot (selfval>>1)^f2n
+        # (cnF2freq.cpp:1122-1189)
+        selfval = (flag >> (cfg.typebits + 1)) & 3
+        selfing_now = cfg.selfing and rootgen and selfval != 0
+
         for flag2 in range(f2s, f2end):
             if not cfg.haplotyping and ok:
                 break
             f2n = flag2 & 1
-            allthesame = md[0] == md[1]
+
+            if selfing_now:
+                selfindex = (selfval >> 1) ^ f2n
+                selfmarker = [UNKNOWN, UNKNOWN]
+                selfsure = [0.0, 0.0]
+                miss_fs, bound_first = markermiss(ZP_NONE, int(md[0]),
+                                                  int(md[1]))
+                if not miss_fs:
+                    selfmarker[selfindex] = bound_first
+                    selfsure[selfindex] = \
+                        1.0 - (1.0 - ms[0]) * (1.0 - ms[1])
+                else:
+                    selfmarker[selfindex] = int(md[1])
+                    if ms[0] == 0:
+                        return 0.0
+                    selfsure[selfindex] = 1.0 - ms[0] * (1.0 - ms[1])
+                the_md, the_ms = selfmarker, selfsure
+            else:
+                the_md, the_ms = md, ms
+
+            allthesame = the_md[0] == the_md[1]
             realf2n = f2n
 
-            miss, markerval = markermiss(zeroprop, inval, int(md[f2n]))
+            miss, markerval = markermiss(zeroprop, inval, int(the_md[f2n]))
             if miss:
-                baseval = ms[f2n]
-                mainsecond = (1.0 - ms[f2n]) * secondval \
-                    if (ms[f2n] and secondval) else 0.0
+                baseval = the_ms[f2n]
+                mainsecond = (1.0 - the_ms[f2n]) * secondval \
+                    if (the_ms[f2n] and secondval) else 0.0
             else:
                 effsecond = 1.0 if (inval == UNKNOWN and
                                     markerval != UNKNOWN) else secondval
-                baseval = 1.0 - ms[f2n]
-                effmarkersure = 1.0 if md[f2n] == UNKNOWN else ms[f2n]
+                baseval = 1.0 - the_ms[f2n]
+                effmarkersure = 1.0 if the_md[f2n] == UNKNOWN \
+                    else the_ms[f2n]
                 mainsecond = effmarkersure * effsecond
 
             # NOTE: the reference writes `update & (GENOS || GENOSPROBE)`,
@@ -148,7 +176,7 @@ class GoldenEngine:
                 baseval *= 0.5
                 doupdatehaplo = False
             elif allthesame and (self.correction_inference or
-                                 ms[0] == ms[1]):
+                                 the_ms[0] == the_ms[1]):
                 baseval *= 1.0 if f2n else 0.0
                 doupdatehaplo = False
             else:
@@ -162,7 +190,7 @@ class GoldenEngine:
                 else None
             if baseval and (attopnow or par is None):
                 if zeroprop and gstr is not None:
-                    gstr[0] += int(md[realf2n] == 2)
+                    gstr[0] += int(the_md[realf2n] == 2)
 
             if baseval and not attopnow:
                 numshiftgen = cfg.numshiftgen
@@ -185,20 +213,20 @@ class GoldenEngine:
                 sub1 = subtrack(firstpar, markerval, mainsecond)
 
                 if (not zeroprop or rootgen) and not (update & GENOS):
-                    secmark = int(md[1 - realf2n])
+                    secmark = int(the_md[1 - realf2n])
                     secsecond = 0.0
                     if not (update & HOMOZYGOUS):
-                        if ms[1 - realf2n]:
-                            baseval *= 1.0 - ms[1 - realf2n]
-                            secsecond = ms[1 - realf2n] / \
-                                (1.0 - ms[1 - realf2n])
+                        if the_ms[1 - realf2n]:
+                            baseval *= 1.0 - the_ms[1 - realf2n]
+                            secsecond = the_ms[1 - realf2n] / \
+                                (1.0 - the_ms[1 - realf2n])
                     else:
                         if markerval != secmark:
                             if secmark != UNKNOWN:
-                                baseval *= ms[1 - realf2n]
+                                baseval *= the_ms[1 - realf2n]
                             secmark = markerval
                         else:
-                            baseval *= 1.0 - ms[1 - realf2n]
+                            baseval *= 1.0 - the_ms[1 - realf2n]
                     baseval *= subtrack(1 - firstpar, secmark, secsecond)
                 baseval *= sub1
 
@@ -230,9 +258,11 @@ class GoldenEngine:
         if hit is not None:
             return hit
         cfg = self.cfg
+        # flattened states: selfval * numtypes + base — identical to the
+        # reference's packed layout (self bits above TYPEBITS, settings.h:25)
         out = np.array([
             self.calltrackpossible(ind, marker, g, flag2, shift)
-            for g in range(cfg.numtypes)])
+            for g in range(cfg.numstates)])
         self._ecache[key] = out
         return out
 
@@ -266,18 +296,54 @@ class GoldenEngine:
                 out[idx] *= (1.0 - rec[gen][sex]) if stay else rec[gen][sex]
         return out
 
-    def transition(self, probs: np.ndarray, dist: float) -> np.ndarray:
+    def selfprec(self, dist: float, selfgen: int) -> np.ndarray:
+        """3x3 HBD-status transition factor (cnF2freq.cpp:2316-2327):
+        row = from-selfval, column = to-selfval."""
+        r2 = 0.5 * (1.0 - math.exp(selfgen * self.params.genrec[2] * dist))
+        sp = np.zeros((3, 3))
+        sp[0][1] = sp[0][2] = r2
+        sp[0][0] = 1.0 - 2.0 * r2
+        sp[1][0] = sp[0][1] * 2.0 / ((1 << selfgen) - 1) if selfgen else 1.0
+        sp[1][2] = sp[1][0] * sp[0][1]
+        sp[2][0] = sp[1][0]
+        sp[2][1] = sp[1][2]
+        sp[2][2] = sp[1][1] = 1.0 - sp[1][0] - sp[1][2]
+        return sp
+
+    def transition(self, probs: np.ndarray, dist: float,
+                   selfgen: int = 0) -> np.ndarray:
         if dist <= 0:
             return probs
         rp = self.recombprec(dist)
         cfg = self.cfg
+        S = cfg.numstates
         out = np.zeros_like(probs)
-        for frm in range(cfg.numtypes):
+        if cfg.selfing:
+            sp = self.selfprec(dist, selfgen)
+            base = cfg.numtypes
+            for frm in range(S):
+                if probs[frm] <= 0:
+                    continue
+                for to in range(S):
+                    out[to] += probs[frm] * rp[(frm ^ to) & (base - 1)] \
+                        * sp[frm // base][to // base]
+            return out
+        for frm in range(S):
             if probs[frm] <= 0:
                 continue
-            for to in range(cfg.numtypes):
+            for to in range(S):
                 out[to] += probs[frm] * rp[frm ^ to]
         return out
+
+    def selfing_prior(self, ind: Individual) -> np.ndarray:
+        """Initial state distribution for a selfed individual
+        (selfingfactors, cnF2freq.cpp:2050-2063): HBD probability
+        1 - 1/2**selfgen split over the two HBD-carrier states."""
+        cfg = self.cfg
+        selfgen = max(ind.gen - 2, 0)
+        f0 = 1.0 / (1 << selfgen)
+        factors = np.array([f0, (1.0 - f0) * 0.5, (1.0 - f0) * 0.5])
+        return cfg.evengen * np.repeat(factors, cfg.numtypes)
 
     # ------------------------------------------------------------------
     # Forward-backward store (initfwbw, cnF2freq.cpp:2074-2120)
@@ -287,7 +353,8 @@ class GoldenEngine:
         arrays [M] for markers startmark..endmark inclusive."""
         cfg = self.cfg
         M = endmark - startmark + 1
-        S = cfg.numtypes
+        S = cfg.numstates
+        selfgen = max(ind.gen - 2, 0) if cfg.selfing else 0
         fw_pre = np.zeros((M, S))
         fw_post = np.zeros((M, S))
         bw = np.zeros((M, S))
@@ -295,7 +362,8 @@ class GoldenEngine:
         fw_post_f = np.zeros(M)
         bw_f = np.zeros(M)
 
-        probs = np.full(S, cfg.evengen)
+        probs = self.selfing_prior(ind) if cfg.selfing \
+            else np.full(S, cfg.evengen)
         factor = 0.0
         for j in range(startmark, endmark + 1):
             i = j - startmark
@@ -304,7 +372,7 @@ class GoldenEngine:
             fw_post[i], fw_post_f[i] = probs, factor
             if j < endmark:
                 dist = self.ped.markerposes[j + 1] - self.ped.markerposes[j]
-                probs = self.transition(probs, dist)
+                probs = self.transition(probs, dist, selfgen)
 
         probs = np.ones(S)
         factor = 0.0
@@ -313,7 +381,7 @@ class GoldenEngine:
             i = j - startmark
             probs, factor = self.adjustprobs(ind, probs, j + 1, factor, shift)
             dist = self.ped.markerposes[j + 1] - self.ped.markerposes[j]
-            probs = self.transition(probs, dist)
+            probs = self.transition(probs, dist, selfgen)
             bw[i], bw_f[i] = probs, factor
         return dict(fw_pre=fw_pre, fw_post=fw_post, bw=bw,
                     fw_pre_f=fw_pre_f, fw_post_f=fw_post_f, bw_f=bw_f)

@@ -232,12 +232,18 @@ class RootBlock(NamedTuple):
 
 def root_block(focal: SlotData, update: int = 0, zp: int = ZP_NONE,
                ci: bool = False, haplotyping: bool = True, inval=None,
-               insv=None, side: int = 0, dtype=jnp.float64) -> RootBlock:
+               insv=None, side: int = 0, dtype=jnp.float64,
+               root_override=None) -> RootBlock:
     """Focal-individual factor plus the per-branch values it feeds upward.
 
     side: the root's firstpar bit (flag = g*2 + side); side=1 swaps which
     parent receives the continuing branch (GENOSPROBE/GENOS probes,
-    cnF2freq.cpp:5525, 5566)."""
+    cnF2freq.cpp:5525, 5566).
+
+    root_override: optional (md_r, ms_r, md_o, ms_o, collapse) [B, M]
+    arrays replacing the focal's own marker pair — the selfing extension's
+    collapsed HBD pair (selfmarker/selfsure, cnF2freq.cpp:1131-1189),
+    independent of the interpretation slot r0."""
     n = 2  # trailing enum axes here: (r0, s0)
     R0 = np.arange(2).reshape(2, 1)
     S0 = np.arange(2).reshape(1, 2)
@@ -255,10 +261,16 @@ def root_block(focal: SlotData, update: int = 0, zp: int = ZP_NONE,
     iv = ex2(inval)
     sv = ex2(insv)
 
-    md_r = pick2(focal.md, R0)
-    ms_r = pick2(focal.ms, R0)
-    md_o = pick2(focal.md, 1 - R0)
-    ms_o = pick2(focal.ms, 1 - R0)
+    if root_override is None:
+        md_r = pick2(focal.md, R0)
+        ms_r = pick2(focal.ms, R0)
+        md_o = pick2(focal.md, 1 - R0)
+        ms_o = pick2(focal.ms, 1 - R0)
+    else:
+        # r0-independent overrides, broadcast over the (r0, s0) enum axes
+        md_r, ms_r, md_o, ms_o = (
+            jnp.broadcast_to(ex2(jnp.asarray(x)), jnp.asarray(x).shape + (2, 1))
+            for x in root_override[:4])
 
     unknown_v = iv == UNKNOWN
     if zp == ZP_NONE:
@@ -283,8 +295,11 @@ def root_block(focal: SlotData, update: int = 0, zp: int = ZP_NONE,
     bv_abs = bv_raw + pre
     ms_nab = _safe_div(pre, bv_raw)
 
-    collapse = ex2((focal.md[..., 0] == focal.md[..., 1]) &
-                   (ci | (focal.ms[..., 0] == focal.ms[..., 1])))
+    if root_override is None:
+        collapse = ex2((focal.md[..., 0] == focal.md[..., 1]) &
+                       (ci | (focal.ms[..., 0] == focal.ms[..., 1])))
+    else:
+        collapse = ex2(root_override[4])
     f2n = R0 ^ side ^ S0
     if zp != ZP_NONE:
         ph = jnp.full(jnp.broadcast_shapes(collapse.shape, f2n.shape,
@@ -342,13 +357,14 @@ class EmissionBlocks(NamedTuple):
 
 def build_blocks(fb: FamilyBatch, cfg: ModelConfig, ci: bool = False,
                  update: int = 0, zp: int = ZP_NONE, inval=None, insv=None,
-                 side: int = 0, dtype=jnp.float64) -> EmissionBlocks:
+                 side: int = 0, dtype=jnp.float64,
+                 root_override=None) -> EmissionBlocks:
     """Compute the factored emission blocks for one probe variant."""
     assert cfg.numgen == 3, "numgen==2 engine lands with the config matrix"
     focal = slot_data(fb, 0)
     rb = root_block(focal, update=update, zp=zp, ci=ci,
                     haplotyping=cfg.haplotyping, inval=inval, insv=insv,
-                    side=side, dtype=dtype)
+                    side=side, dtype=dtype, root_override=root_override)
     genos = bool(update & GENOS)
     pbs = []
     for k in range(2):
