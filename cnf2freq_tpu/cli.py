@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a phase-corrected haps file and exit")
     p.add_argument("--merlinmap", help="MERLIN map file")
     p.add_argument("--merlinped", help="MERLIN ped file (with genotypes)")
+    p.add_argument("--gigimapfile", help="Gigi-compatible map file")
+    p.add_argument("--gigipedfile", help="Gigi-compatible ped file")
+    p.add_argument("--templatevcffile", help="template VCF whose GT fields "
+                   "get rewritten with the phased results")
+    p.add_argument("--outputvcffile", help="output path for the rewritten "
+                   "VCF (.gz for gzip)")
     p.add_argument("--markerinfo", help="ccoeff-style marker info file")
     p.add_argument("--ccoeffped", help="ccoeff-style pedigree file")
     p.add_argument("--ccoeffgen", help="ccoeff-style genotype file")
@@ -99,9 +105,13 @@ def main(argv=None) -> int:
     elif args.markerinfo and args.ccoeffped and args.ccoeffgen:
         from .io.ccoeff import load_ccoeff
         ped = load_ccoeff(args.markerinfo, args.ccoeffped, args.ccoeffgen)
+    elif args.gigimapfile and args.gigipedfile:
+        from .io.gigi import load_gigi
+        ped = load_gigi(args.gigimapfile, args.gigipedfile)
     else:
         print("need an input set: --mapfile/--pedfile/--genfile, "
-              "--merlinmap/--merlinped, or "
+              "--merlinmap/--merlinped, "
+              "--gigimapfile/--gigipedfile, or "
               "--markerinfo/--ccoeffped/--ccoeffgen", file=sys.stderr)
         return 2
 
@@ -154,6 +164,9 @@ def main(argv=None) -> int:
     if args.output:
         with open(args.output, "w") as f:
             write_genotype_table(ped, driver.pair_tables, f)
+    if args.templatevcffile and args.outputvcffile:
+        from .io.vcf import output_vcf
+        output_vcf(ped, args.templatevcffile, args.outputvcffile)
     return 0
 
 

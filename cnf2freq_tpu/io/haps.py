@@ -209,6 +209,7 @@ def read_haps_full(ped: Pedigree, samples: Sequence[Tuple[str, str, str]],
     ped.chromstarts = starts
     ped.map_indices = map_indices
     ped.hapmonomorphs = monomorphs
+    ped.markernames = {hd.name[i]: i for i in range(len(hd.name))}
 
     names = {s[0] for s in samples}
     inds = []

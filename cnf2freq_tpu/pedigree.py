@@ -62,6 +62,7 @@ class Pedigree:
         self.dous: List[int] = []          # analysis worklist (ids)
         self.markerposes: np.ndarray = np.zeros(0)
         self.chromstarts: List[int] = []
+        self.markernames: Dict[str, int] = {}  # name -> marker index
         self.actrec: Optional[np.ndarray] = None  # [2, M] per-sex rates
         self._frozen = False
 
