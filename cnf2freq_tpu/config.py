@@ -70,11 +70,11 @@ class ModelConfig:
             object.__setattr__(self, "typegens", self._default_typegens())
         assert len(self.typesexes) == self.typebits
         assert len(self.typegens) == self.typebits
-        if self.relskewstates:
+        if self.relskewstates and self.selfing:
             raise NotImplementedError(
-                "the relskewstates state-bit extension lands in a later "
-                "milestone; RELSKEWS smoothing itself is implemented "
-                "(updates/relskew.py)")
+                "combining SELFING with RELSKEWSTATES is not supported "
+                "(the reference's own bit layout for the combination is "
+                "marked 'TODO: Reorder bits', settings.h:44-46)")
 
     # -- state-space dimensions -------------------------------------------
     @property
@@ -123,15 +123,22 @@ class ModelConfig:
         return 3 if self.selfing else 1
 
     @property
+    def numrelstates(self) -> int:
+        """RELSKEWSTATES phase-coherence state bit (settings.h:16,26):
+        an extra hidden bit pinning the focal's root interpretation."""
+        return 2 if self.relskewstates else 1
+
+    @property
     def numstates(self) -> int:
-        """Full valid state count including selfing extension."""
-        return self.numtypes * self.numselfstates
+        """Full valid state count including the extensions."""
+        return self.numtypes * self.numselfstates * self.numrelstates
 
     @property
     def evengen(self) -> float:
         # EVENGEN = 1/NUMTYPES where NUMTYPES counts the *padded* space
-        # 2**(typebits + selfbits) (settings.h:27-28)
-        return 1.0 / (self.numtypes << self.selfbits)
+        # 2**(typebits + selfbits + relskewstates) (settings.h:27-28)
+        return 1.0 / ((self.numtypes << self.selfbits) *
+                      self.numrelstates)
 
     # -- family-tree slot layout ------------------------------------------
     # Slots follow the reference's flag2-bit layout (fixtrees,

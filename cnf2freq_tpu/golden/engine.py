@@ -120,6 +120,13 @@ class GoldenEngine:
         selfval = (flag >> (cfg.typebits + 1)) & 3
         selfing_now = cfg.selfing and rootgen and selfval != 0
 
+        # RELSKEWSTATES: the extra state bit pins the focal's root
+        # interpretation slot (cnF2freq.cpp:1127, 1148-1154)
+        if cfg.relskewstates and rootgen:
+            relskewval = flag >> (cfg.typebits + cfg.selfbits + 1)
+            f2s = max(f2s, relskewval)
+            f2end = min(f2end, relskewval + 1)
+
         for flag2 in range(f2s, f2end):
             if not cfg.haplotyping and ok:
                 break
@@ -311,22 +318,33 @@ class GoldenEngine:
         return sp
 
     def transition(self, probs: np.ndarray, dist: float,
-                   selfgen: int = 0) -> np.ndarray:
+                   selfgen: int = 0, relh: float = 0.5) -> np.ndarray:
         if dist <= 0:
             return probs
         rp = self.recombprec(dist)
         cfg = self.cfg
         S = cfg.numstates
+        base = cfg.numtypes
         out = np.zeros_like(probs)
         if cfg.selfing:
             sp = self.selfprec(dist, selfgen)
-            base = cfg.numtypes
             for frm in range(S):
                 if probs[frm] <= 0:
                     continue
                 for to in range(S):
                     out[to] += probs[frm] * rp[(frm ^ to) & (base - 1)] \
                         * sp[frm // base][to // base]
+            return out
+        if cfg.relskewstates:
+            # relscore factor on the coherence bit (cnF2freq.cpp:2343-2362)
+            relscore = (relh, 1.0 - relh)
+            for frm in range(S):
+                if probs[frm] <= 0:
+                    continue
+                for to in range(S):
+                    x = frm ^ to
+                    out[to] += probs[frm] * rp[x & (base - 1)] \
+                        * relscore[(x >> cfg.typebits) & 1]
             return out
         for frm in range(S):
             if probs[frm] <= 0:
@@ -362,6 +380,13 @@ class GoldenEngine:
         fw_post_f = np.zeros(M)
         bw_f = np.zeros(M)
 
+        def relh(j):
+            """relhaplo at the left marker of interval (j, j+1)
+            (relscore, cnF2freq.cpp:2345-2346)."""
+            if not cfg.relskewstates or ind.relhaplo is None:
+                return 0.5
+            return float(ind.relhaplo[j])
+
         probs = self.selfing_prior(ind) if cfg.selfing \
             else np.full(S, cfg.evengen)
         factor = 0.0
@@ -372,7 +397,7 @@ class GoldenEngine:
             fw_post[i], fw_post_f[i] = probs, factor
             if j < endmark:
                 dist = self.ped.markerposes[j + 1] - self.ped.markerposes[j]
-                probs = self.transition(probs, dist, selfgen)
+                probs = self.transition(probs, dist, selfgen, relh(j))
 
         probs = np.ones(S)
         factor = 0.0
@@ -381,7 +406,7 @@ class GoldenEngine:
             i = j - startmark
             probs, factor = self.adjustprobs(ind, probs, j + 1, factor, shift)
             dist = self.ped.markerposes[j + 1] - self.ped.markerposes[j]
-            probs = self.transition(probs, dist, selfgen)
+            probs = self.transition(probs, dist, selfgen, relh(j))
             bw[i], bw_f[i] = probs, factor
         return dict(fw_pre=fw_pre, fw_post=fw_post, bw=bw,
                     fw_pre_f=fw_pre_f, fw_post_f=fw_post_f, bw_f=bw_f)
