@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--capmarker", type=int, default=None,
                    help="limit marker count")
     p.add_argument("--dump", help="haplotype dump file (default stdout)")
+    p.add_argument("--flipmode", choices=("native", "negshift"),
+                   default="native",
+                   help="phase-flip optimizer: joint per-marker solver "
+                   "(default) or the legacy single-member negshift path")
     p.add_argument("--x64", action="store_true", default=True,
                    help="use float64 (default)")
     p.add_argument("--f32", dest="x64", action="store_false",
@@ -138,6 +142,7 @@ def main(argv=None) -> int:
 
     dtype = np.float64 if args.x64 else np.float32
     driver = Driver(ped, dtype=dtype)
+    driver.flip_mode = args.flipmode
     driver.preprocess()
 
     if args.deserialize:

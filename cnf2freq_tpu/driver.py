@@ -73,6 +73,10 @@ class Driver:
         # Flip-solver budget: at most this many top-gain markers get a
         # joint solve per chromosome per iteration.
         self.max_flip_markers = 16
+        # "native" = joint per-marker flip optimizer (the DOTOULBAR=1
+        # replacement); "negshift" = legacy single-member inversion path
+        # (DOTOULBAR=0, updates/negshift.py)
+        self.flip_mode = "native"
 
     def _jitted_scan(self):
         key = self.dtype
@@ -384,10 +388,22 @@ class Driver:
 
             if not early:
                 weights = np.concatenate(weight_parts, axis=0)
-                weights = self._apply_skewterms(dous, lo, hi, weights,
-                                                haplobase, haplocount,
-                                                ind_index)
-                winner = self._optimise_flips(dous, lo, hi, weights, c)
+                if self.flip_mode == "negshift":
+                    # legacy DOTOULBAR=0 path: unscale the descendant
+                    # factor baked into turn weights, then single-member
+                    # negshift inversion (updates/negshift.py)
+                    from .updates.negshift import negshift_flips
+                    desc = np.array(
+                        [max(ped.by_id(n).descendants, 1) for n in dous],
+                        dtype=float)
+                    winner = negshift_flips(
+                        ped, dous, lo, hi,
+                        weights / desc[:, None, None], cfg)
+                else:
+                    weights = self._apply_skewterms(dous, lo, hi, weights,
+                                                    haplobase, haplocount,
+                                                    ind_index)
+                    winner = self._optimise_flips(dous, lo, hi, weights, c)
                 winners.append(winner)
                 if winner is not None:
                     apply_flips(ped, winner, c, haplobase, haplocount,

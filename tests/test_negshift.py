@@ -1,0 +1,144 @@
+"""Legacy negshift flip path (DOTOULBAR=0; updatenegshifts
+cnF2freq.cpp:3640-3715, selection cnF2freq.cpp:6269-6325)."""
+
+import numpy as np
+import pytest
+
+from cnf2freq_tpu import ModelConfig, Pedigree
+from cnf2freq_tpu.updates.negshift import (accumulate_negshift,
+                                           negshift_flips,
+                                           select_candidates,
+                                           slot_turn_bits)
+from cnf2freq_tpu.updates.phaseflip import apply_flips
+
+CFG = ModelConfig()
+
+
+def family(ped, tag, kid_pars=None):
+    names = [f"{tag}{s}" for s in
+             ["gp00", "gp01", "gp10", "gp11", "p0", "p1", "kid"]]
+    by = {nm: ped.getind(nm) for nm in names}
+    return by, names
+
+
+def make_ped(M=8):
+    ped = Pedigree(CFG)
+    ped.markerposes = np.linspace(0, 70, M)
+    ped.chromstarts = [0, M]
+    return ped
+
+
+def finish(ped):
+    ped.freeze()
+    for ind in ped.inds[1:]:
+        ind.empty = False
+        ind.markerdata[:] = 1
+        ind.markersure[:] = 0.0
+        ind.haploweight[:] = 0.3
+    for ind in ped.inds[1:]:
+        ped.fixtrees(ind.n)
+    ped.count_children()
+    ped.count_descendants()
+
+
+def test_slot_turn_bits_layout():
+    # focal=6, par0=0, gp00=1, gp01=2, par1=3, gp10=4, gp11=5
+    assert slot_turn_bits(CFG) == [6, 0, 1, 2, 3, 4, 5]
+
+
+def test_accumulate_and_flip():
+    ped = make_ped()
+    by, _ = family(ped, "a")
+    by["ap0"].pars = (by["agp00"].n, by["agp01"].n)
+    by["ap1"].pars = (by["agp10"].n, by["agp11"].n)
+    by["akid"].pars = (by["ap0"].n, by["ap1"].n)
+    by["akid"].gen = 2
+    ped.dous = [by["akid"].n]
+    finish(ped)
+    M = ped.num_markers
+    T = CFG.numturns
+
+    # craft turn weights: flipping the focal (bit 6) at marker 3 improves
+    # the likelihood by 2 nats; everything else is neutral
+    w = np.zeros((1, M, T))
+    w[0, 3, 1 << 6] = 2.0
+    winner = negshift_flips(ped, ped.dous, 0, M, w, CFG)
+    assert winner is not None
+    assert winner.flips == [(by["akid"].n, 3)]
+    # negshift accumulated on the focal only, negative at 3
+    assert by["akid"].negshift[3] < -1.9
+    assert abs(by["ap0"].negshift[3]) < 1e-12
+
+    hw_before = by["akid"].haploweight.copy()
+    apply_flips(ped, winner, 0)
+    assert by["akid"].lastinved[0] == 3
+    np.testing.assert_allclose(by["akid"].haploweight[4:],
+                               1.0 - hw_before[4:])
+    np.testing.assert_allclose(by["akid"].haploweight[:4], hw_before[:4])
+
+
+def test_grandparent_scaling_and_validity():
+    ped = make_ped()
+    by, _ = family(ped, "b")
+    by["bp0"].pars = (by["bgp00"].n, by["bgp01"].n)
+    by["bp1"].pars = (by["bgp10"].n, by["bgp11"].n)
+    by["bkid"].pars = (by["bp0"].n, by["bp1"].n)
+    by["bkid"].gen = 2
+    sib = ped.getind("bsib")
+    sib.pars = (by["bp0"].n, by["bp1"].n)
+    sib.gen = 2
+    ped.dous = [by["bkid"].n, sib.n]
+    finish(ped)
+    M = ped.num_markers
+    T = CFG.numturns
+
+    # gp00 flip (bit 1) gains 3 nats in both children's units
+    w = np.zeros((2, M, T))
+    w[:, 2, 1 << 1] = 3.0
+    accumulate_negshift(ped, ped.dous, 0, M, w, CFG)
+    # each unit contributes -3 / p0.children (= 2 children)
+    np.testing.assert_allclose(by["bgp00"].negshift[2], -3.0, atol=1e-12)
+    assert abs(by["bgp01"].negshift[2]) < 1e-12
+
+
+def test_relatedness_pruning():
+    ped = make_ped()
+    by, _ = family(ped, "c")
+    by["cp0"].pars = (by["cgp00"].n, by["cgp01"].n)
+    by["cp1"].pars = (by["cgp10"].n, by["cgp11"].n)
+    by["ckid"].pars = (by["cp0"].n, by["cp1"].n)
+    by["ckid"].gen = 2
+    # unrelated second family
+    other = ped.getind("zz")
+    ped.dous = [by["ckid"].n]
+    finish(ped)
+
+    by["ckid"].negshift[:] = 0.0
+    by["ckid"].negshift[2] = -5.0
+    by["cp0"].negshift[:] = 0.0
+    by["cp0"].negshift[4] = -3.0       # related, worse -> pruned
+    other.negshift[:] = 0.0
+    other.negshift[1] = -1.0           # unrelated -> kept
+    cands = select_candidates(ped, 0, ped.num_markers)
+    got = {(n, m) for n, _, m in cands}
+    assert (by["ckid"].n, 2) in got
+    assert (other.n, 1) in got
+    assert all(n != by["cp0"].n for n, _, m in cands)
+
+
+def test_driver_negshift_mode_demo():
+    """The full driver runs with flip_mode='negshift' on the demo data."""
+    from cnf2freq_tpu.driver import Driver
+    from cnf2freq_tpu.io import load_plantimpute
+    ped = load_plantimpute("/root/reference/demoplantimpute.map",
+                          "/root/reference/demoplantimpute.ped",
+                          "/root/reference/demoplantimpute.gen")
+    drv = Driver(ped)
+    drv.flip_mode = "negshift"
+    drv.preprocess()
+    drv.iterate(early=True)
+    info = drv.iterate()
+    assert np.isfinite(info["hitnnn"])
+    for ind in ped.inds[1:]:
+        if ind.haploweight is not None:
+            assert ((ind.haploweight >= 0) & (ind.haploweight <= 1)).all()
