@@ -61,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="native",
                    help="phase-flip optimizer: joint per-marker solver "
                    "(default) or the legacy single-member negshift path")
+    p.add_argument("--trace", help="write structured tracing/metrics as "
+                   "JSON lines to this file; span summary on stderr")
     p.add_argument("--x64", action="store_true", default=True,
                    help="use float64 (default)")
     p.add_argument("--f32", dest="x64", action="store_false",
@@ -143,6 +145,11 @@ def main(argv=None) -> int:
     dtype = np.float64 if args.x64 else np.float32
     driver = Driver(ped, dtype=dtype)
     driver.flip_mode = args.flipmode
+    trace_f = None
+    if args.trace:
+        from .utils.tracing import Tracer
+        trace_f = open(args.trace, "w")
+        driver.tracer = Tracer(sink=trace_f)
     driver.preprocess()
 
     if args.deserialize:
@@ -172,6 +179,9 @@ def main(argv=None) -> int:
     if args.templatevcffile and args.outputvcffile:
         from .io.vcf import output_vcf
         output_vcf(ped, args.templatevcffile, args.outputvcffile)
+    if trace_f is not None:
+        print(driver.tracer.report(), file=sys.stderr)
+        trace_f.close()
     return 0
 
 

@@ -77,6 +77,10 @@ class Driver:
         # replacement); "negshift" = legacy single-member inversion path
         # (DOTOULBAR=0, updates/negshift.py)
         self.flip_mode = "native"
+        # structured tracing/metrics (utils/tracing.py); NullTracer is a
+        # no-op — swap in a Tracer(sink=...) for JSONL telemetry
+        from .utils.tracing import NullTracer
+        self.tracer = NullTracer()
 
     def _jitted_scan(self):
         key = self.dtype
@@ -92,15 +96,19 @@ class Driver:
     # ------------------------------------------------------------------
     def preprocess(self):
         ped = self.ped
-        self._correction_inference_loop()
-        ped.count_descendants()
-        for ind in ped.inds[1:]:
-            ped.fixtrees(ind.n)       # sets founder flags
-        self._compute_variances()
-        for ind in ped.inds[1:]:
-            if self.cfg.haplotyping and ind.haploweight is not None:
-                for c in range(ped.num_chromosomes):
-                    self._lockhaplos(ind, c)
+        with self.tracer.span("preprocess"):
+            with self.tracer.span("correction_inference"):
+                self._correction_inference_loop()
+            ped.count_descendants()
+            for ind in ped.inds[1:]:
+                ped.fixtrees(ind.n)       # sets founder flags
+            with self.tracer.span("variances"):
+                self._compute_variances()
+            with self.tracer.span("lockhaplos"):
+                for ind in ped.inds[1:]:
+                    if self.cfg.haplotyping and ind.haploweight is not None:
+                        for c in range(ped.num_chromosomes):
+                            self._lockhaplos(ind, c)
 
     def _correction_inference_loop(self):
         ped = self.ped
@@ -211,7 +219,10 @@ class Driver:
                         if val == UNKNOWN:
                             continue
                         probit = msu[m, 0] + msu[m, 1]
-                        probit = probit / (1.0 - probit)
+                        # fully-uncertain pair: odds saturate rather
+                        # than divide by zero
+                        probit = probit / (1.0 - probit) \
+                            if probit < 1.0 else 1e300
                         pmap = prop_map(ind.pars[k])[m]
                         old = pmap.get(val, [0, 1.0])
                         pmap[val] = [old[0] + 1, old[1] * probit]
@@ -357,13 +368,15 @@ class Driver:
             weight_parts = []
             for b0 in range(0, len(dous), bs):
                 chunk = dous[b0:b0 + bs]
-                fbatch = gather_family(ped, chunk, lo, hi - 1,
-                                       dtype=self.dtype)
-                if len(chunk) < bs:
-                    from .parallel.mesh import pad_batch
-                    fbatch = pad_batch(fbatch, bs)
-                fbj = fbatch.map(jnp.asarray)
-                res = scan_fn(fbj, dj)
+                with self.tracer.span("gather"):
+                    fbatch = gather_family(ped, chunk, lo, hi - 1,
+                                           dtype=self.dtype)
+                    if len(chunk) < bs:
+                        from .parallel.mesh import pad_batch
+                        fbatch = pad_batch(fbatch, bs)
+                    fbj = fbatch.map(jnp.asarray)
+                with self.tracer.span("scan"):
+                    res = scan_fn(fbj, dj)
                 nb = len(chunk)
                 self._store_pair_tables(chunk, lo,
                                         np.asarray(res.pair)[:nb])
@@ -387,27 +400,30 @@ class Driver:
                     weight_parts.append(np.array(res.turn_weight)[:nb])
 
             if not early:
-                weights = np.concatenate(weight_parts, axis=0)
-                if self.flip_mode == "negshift":
-                    # legacy DOTOULBAR=0 path: unscale the descendant
-                    # factor baked into turn weights, then single-member
-                    # negshift inversion (updates/negshift.py)
-                    from .updates.negshift import negshift_flips
-                    desc = np.array(
-                        [max(ped.by_id(n).descendants, 1) for n in dous],
-                        dtype=float)
-                    winner = negshift_flips(
-                        ped, dous, lo, hi,
-                        weights / desc[:, None, None], cfg)
-                else:
-                    weights = self._apply_skewterms(dous, lo, hi, weights,
-                                                    haplobase, haplocount,
-                                                    ind_index)
-                    winner = self._optimise_flips(dous, lo, hi, weights, c)
-                winners.append(winner)
-                if winner is not None:
-                    apply_flips(ped, winner, c, haplobase, haplocount,
-                                ind_index)
+                with self.tracer.span("flips"):
+                    weights = np.concatenate(weight_parts, axis=0)
+                    if self.flip_mode == "negshift":
+                        # legacy DOTOULBAR=0 path: unscale the descendant
+                        # factor baked into turn weights, then
+                        # single-member negshift inversion
+                        # (updates/negshift.py)
+                        from .updates.negshift import negshift_flips
+                        desc = np.array(
+                            [max(ped.by_id(n).descendants, 1)
+                             for n in dous], dtype=float)
+                        winner = negshift_flips(
+                            ped, dous, lo, hi,
+                            weights / desc[:, None, None], cfg)
+                    else:
+                        weights = self._apply_skewterms(
+                            dous, lo, hi, weights, haplobase, haplocount,
+                            ind_index)
+                        winner = self._optimise_flips(dous, lo, hi,
+                                                      weights, c)
+                    winners.append(winner)
+                    if winner is not None:
+                        apply_flips(ped, winner, c, haplobase, haplocount,
+                                    ind_index)
             else:
                 winners.append(None)
 
@@ -423,9 +439,17 @@ class Driver:
         any_inv = any(w is not None for w in winners)
         sf = 0.0 if any_inv else st.scalefactor
         hits = 0
-        hits += self._process_infprobs(ids, infacc, sf)
-        hits += self._update_haploweights(ids, haplobase, haplocount, sf)
+        with self.tracer.span("updates"):
+            hits += self._process_infprobs(ids, infacc, sf)
+            hits += self._update_haploweights(ids, haplobase, haplocount,
+                                              sf)
         self._adapt_scalefactor(any_inv, hits, len(dous))
+        self.tracer.metric(event="iteration", iter=st.iter, hitnnn=hits,
+                           inverted=any_inv,
+                           scalefactor=st.scalefactor,
+                           flips=sum(len(w.flips) for w in winners
+                                     if w is not None and
+                                     hasattr(w, "flips")))
         return dict(hitnnn=hits, inverted=any_inv,
                     scalefactor=st.scalefactor)
 
