@@ -122,16 +122,58 @@ def _components(fams: Sequence[Tuple[List[int], np.ndarray]]
     return list(groups.values())
 
 
+def _solve_component_native(lib, fam_masks, n: int,
+                            exhaustive_limit: int, icm_restarts: int
+                            ) -> Optional[np.ndarray]:
+    """One component through the C++ core (native/flipsolve.cc).
+    Returns a bool[n] assignment, or None when inputs exceed the ABI."""
+    import ctypes
+    if n > 63:
+        return None
+    fam_nv = np.array([len(pos) for pos, _ in fam_masks], dtype=np.int32)
+    if (fam_nv > 16).any():
+        return None
+    vpos = np.concatenate([pos for pos, _ in fam_masks]).astype(np.int32) \
+        if fam_masks else np.zeros(0, np.int32)
+    scores = np.concatenate([np.asarray(S, dtype=np.float64)
+                             for _, S in fam_masks])
+    lens = np.array([len(S) for _, S in fam_masks], dtype=np.int64)
+    s_off = np.zeros(len(fam_masks), dtype=np.int64)
+    if len(lens) > 1:
+        s_off[1:] = np.cumsum(lens[:-1])
+    out_mask = ctypes.c_uint64(0)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    lib.flip_solve_component(
+        np.int32(n), np.int32(len(fam_masks)),
+        ptr(fam_nv, ctypes.c_int32), ptr(vpos, ctypes.c_int32),
+        ptr(s_off, ctypes.c_int64), ptr(scores, ctypes.c_double),
+        np.int32(exhaustive_limit), np.int32(icm_restarts), np.int32(12),
+        ctypes.c_uint64(0x9E3779B97F4A7C15), ctypes.byref(out_mask))
+    m = out_mask.value
+    return np.array([(m >> i) & 1 for i in range(n)], dtype=bool)
+
+
 def solve_marker(fams: Sequence[Tuple[List[int], np.ndarray]],
                  exhaustive_limit: int = 13, icm_restarts: int = 2,
-                 rng: Optional[np.random.Generator] = None
-                 ) -> Dict[int, bool]:
+                 rng: Optional[np.random.Generator] = None,
+                 use_native: bool = True) -> Dict[int, bool]:
     """Best joint flip assignment for one marker.
 
     fams: per family (variable ids, score-per-pattern vector S[P]).
-    Returns {individual: flipped} for flipped individuals only."""
+    Returns {individual: flipped} for flipped individuals only.
+
+    The search runs in the C++ core when the toolchain is available
+    (native/flipsolve.cc; wider exhaustive window), with this function's
+    pure-Python body as the fallback."""
     rng = rng or np.random.default_rng(0)
     assign: Dict[int, bool] = {}
+    lib = None
+    if use_native:
+        from ..native import load_flipsolve
+        lib = load_flipsolve()
     for comp in _components(fams):
         vset = sorted({v for fi in comp for v in fams[fi][0]})
         vidx = {v: i for i, v in enumerate(vset)}
@@ -140,6 +182,14 @@ def solve_marker(fams: Sequence[Tuple[List[int], np.ndarray]],
         for fi in comp:
             vars_, S = fams[fi]
             fam_masks.append((np.array([vidx[v] for v in vars_]), S))
+        if lib is not None:
+            vec = _solve_component_native(
+                lib, fam_masks, n, max(exhaustive_limit, 20), icm_restarts)
+            if vec is not None:
+                for v, i in vidx.items():
+                    if vec[i]:
+                        assign[v] = True
+                continue
         if n <= exhaustive_limit:
             best_a, best_score = 0, -np.inf
             for a in range(1 << n):
