@@ -29,7 +29,8 @@ def merge_slot_stats(values: jnp.ndarray, slot_ind: jnp.ndarray,
     segment-sum automatically."""
     B, M, S = values.shape[:3]
     tail = values.shape[3:]
-    flat = values.reshape(B * S, M, *tail)
+    # [B, M, S, ...] -> [B, S, M, ...] so rows align with slot_ind[B, S]
+    flat = jnp.moveaxis(values, 2, 1).reshape(B * S, M, *tail)
     ids = slot_ind.reshape(B * S)
     out = jax.ops.segment_sum(flat, ids, num_segments=num_individuals + 1)
     out = out[1:]  # drop the vacant-slot bucket

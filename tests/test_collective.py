@@ -1,0 +1,89 @@
+"""Sharded collective accumulator merge vs the unsharded result.
+
+The TPU replacement for the reference's per-marker OpenMP locks and MPI
+reduce (cnF2freq.cpp:5265-5270, 6245-6255) is segment-sum + XLA-inserted
+collectives (parallel/collective.py); sharding over the virtual 8-device
+mesh must be bit-compatible with the single-device merge."""
+
+import jax
+import numpy as np
+import pytest
+
+from cnf2freq_tpu.config import ModelConfig, RuntimeParams
+from cnf2freq_tpu.engine import chromosome_scan
+from cnf2freq_tpu.hmm.family import gather_family
+from cnf2freq_tpu.parallel import make_mesh, pad_batch, replicate, \
+    shard_batch
+from cnf2freq_tpu.parallel.collective import (merge_slot_stats,
+                                              sharded_scan_and_merge)
+from cnf2freq_tpu.utils import simulate_f2
+
+
+def cohort(n=12, M=10):
+    ped = simulate_f2(n_f2=n, n_markers=M, seed=4, missing_rate=0.2)
+    for ind in ped.inds[1:]:
+        ped.fixtrees(ind.n)
+    ped.count_descendants()
+    fb = gather_family(ped, ped.dous, 0, ped.num_markers - 1)
+    dists = np.diff(ped.markerposes)
+    return ped, fb, dists
+
+
+def test_sharded_merge_matches_unsharded():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    ped, fb, dists = cohort()
+    cfg, params = ped.config, RuntimeParams()
+    NI = len(ped.inds) - 1
+
+    # unsharded reference
+    import jax.numpy as jnp
+    res = chromosome_scan(fb.map(jnp.asarray), jnp.asarray(dists), cfg,
+                          params)
+    masked = jnp.where(res.haplo_mask[..., None], res.haplo_b12, 0.0)
+    want_hb = np.asarray(merge_slot_stats(masked, jnp.asarray(fb.slot_ind),
+                                          NI))
+    want_inf = np.asarray(merge_slot_stats(res.inf_accum,
+                                           jnp.asarray(fb.slot_ind), NI))
+    want_total = np.asarray(res.total)
+
+    mesh = make_mesh(8)
+    fbp = pad_batch(fb, 8)
+    fbs = shard_batch(fbp, mesh)
+    total, hb, inf = sharded_scan_and_merge(fbs, dists, cfg, params, mesh,
+                                            NI)
+    np.testing.assert_allclose(np.asarray(total)[:len(want_total)],
+                               want_total, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(hb), want_hb, rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(inf), want_inf, rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_merge_accumulates_shared_parents():
+    """Two F2 children of the same parents: the parents' slots appear in
+    both analysis units and their statistics must sum across units —
+    the lock-free replacement for the reference's per-marker locks."""
+    import jax.numpy as jnp
+    ped, fb, dists = cohort(n=2)
+    cfg, params = ped.config, RuntimeParams()
+    NI = len(ped.inds) - 1
+    res = chromosome_scan(fb.map(jnp.asarray), jnp.asarray(dists), cfg,
+                          params)
+    masked = jnp.where(res.haplo_mask[..., None], res.haplo_b12, 0.0)
+    merged = np.asarray(merge_slot_stats(masked,
+                                         jnp.asarray(fb.slot_ind), NI))
+    masked = np.asarray(masked)
+    slot_ind = np.asarray(fb.slot_ind)
+    # hand-accumulate
+    want = np.zeros_like(merged)
+    for b in range(masked.shape[0]):
+        for s in range(slot_ind.shape[1]):
+            sid = slot_ind[b, s]
+            if sid > 0:
+                want[sid - 1] += masked[b, :, s]
+    np.testing.assert_allclose(merged, want, rtol=1e-12)
+    # at least one shared slot (the common parents) must receive
+    # contributions from both units
+    shared = [sid for sid in slot_ind[0] if sid > 0 and
+              sid in slot_ind[1]]
+    assert shared
