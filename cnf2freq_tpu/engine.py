@@ -20,7 +20,7 @@ from .hmm.emission import assemble_e_all, build_blocks
 from .hmm.family import FamilyBatch
 from .hmm.forward_backward import combined_loglik, forward_backward
 from .hmm.probes import (haplo_stats, infprob_stats, phase_coherence,
-                         posterior_weight, turn_scores)
+                         posterior_weight, turn_weights_fast)
 from .hmm.transition import interval_recomb, transition_eigenvalues
 
 
@@ -54,7 +54,7 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
     else:
         inf_accum = jnp.zeros((B, M, cfg.numslots, 2, 2), dtype=e.dtype)
         pair = jnp.zeros((B, M, 2, 2), dtype=e.dtype)
-    ts = turn_scores(fbres, fb, cfg)
+    turn_w = turn_weights_fast(fbres, fb, cfg)
     if with_coherence:
         lam = transition_eigenvalues(
             cfg, interval_recomb(cfg, params, dists)).astype(e.dtype)
@@ -63,7 +63,7 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
         coh = jnp.full((B, M, cfg.numslots), 0.5, dtype=e.dtype)
     return ScanResult(total=total, haplo_b12=hs.b12, haplo_mask=hs.mask,
                       inf_accum=inf_accum, pair=pair,
-                      turn_weight=ts.weight, coherence=coh,
+                      turn_weight=turn_w, coherence=coh,
                       fw_pre=fbres.fw_pre, bw=fbres.bw,
                       fw_pre_f=fbres.fw_pre_f, bw_f=fbres.bw_f)
 

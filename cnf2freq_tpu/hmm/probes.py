@@ -205,6 +205,58 @@ def turn_scores(fbres: FBResult, fb: FamilyBatch, cfg: ModelConfig,
     return TurnScores(raw=raw, weight=w)
 
 
+def turn_weights_fast(fbres: FBResult, fb: FamilyBatch, cfg: ModelConfig,
+                      total_desc_scale: bool = True) -> jnp.ndarray:
+    """Turn clause weights via one joint Walsh-Hadamard correlation.
+
+    The per-turn shift-summed likelihood is an xor-correlation over the
+    joint (state, shift) group Z2^typebits x Z2^3:
+
+        sum_s exp(raw[t, s]) = D[x(t), flip(t)],
+        D[x, f] = sum_{g,s} fw'[g, s] * bw'[g^x, s^f]
+
+    with fw' = fw_post * exp(fw_post_f - max), bw' = bw * exp(bw_f - max)
+    (the per-(b, m) max factors cancel in the weight ratio against the
+    no-flip turn).  An xor-correlation diagonalises under the WHT, so all
+    NUMTYPES*NS offsets cost three MXU matmuls — replacing the per-mask
+    gathers and the [B, M, T, NS] raw materialisation of ``turn_scores``
+    (numerically equal where weights are finite; tests/test_probes.py).
+    """
+    from .transition import hadamard
+    B, M, S, NS = fbres.fw_post.shape
+    dtype = fbres.fw_post.dtype
+    X = S * NS
+    allowed = ((jnp.arange(NS)[None, :] & fb.shiftignore[:, None]) == 0)
+
+    ff = jnp.where(allowed[:, None, :], fbres.fw_post_f, -jnp.inf)
+    ffm = ff.max(axis=-1)                                  # [B, M]
+    fexp = jnp.where(allowed[:, None, :],
+                     jnp.exp(ff - ffm[..., None]), 0.0)
+    bf = fbres.bw_f
+    bfm = bf.max(axis=-1)
+    bexp = jnp.exp(bf - bfm[..., None])
+
+    fwp = (fbres.fw_post * fexp[:, :, None, :]).reshape(B, M, X)
+    bwp = (fbres.bw * bexp[:, :, None, :]).reshape(B, M, X)
+
+    H = jnp.asarray(hadamard(int(X).bit_length() - 1, str(dtype)))
+    fh = jnp.einsum("jk,bmk->bmj", H, fwp)
+    bh = jnp.einsum("jk,bmk->bmj", H, bwp)
+    D = jnp.einsum("jk,bmk->bmj", H, fh * bh) / X          # [B, M, X]
+
+    idx = np.array([(t & cfg.turn_state_mask) * NS + cfg.turn_shift_flip(t)
+                    for t in range(cfg.numturns)])
+    vals = D[..., idx]                                     # [B, M, T]
+    tiny = jnp.asarray(np.finfo(str(dtype)).tiny, dtype=dtype)
+    logv = jnp.log(jnp.maximum(vals, tiny))
+    ok = vals > 0
+    w = jnp.where(ok & ok[..., 0:1], logv - logv[..., 0:1],
+                  MINFACTOR)
+    if total_desc_scale:
+        w = w * fb.descendants[:, None, None]
+    return w
+
+
 # ---------------------------------------------------------------------------
 # Genotype-probability probes (GENOSPROBE / GENOS machinery)
 # ---------------------------------------------------------------------------

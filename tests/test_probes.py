@@ -222,3 +222,19 @@ def test_recombination_expectations(setup):
     import math
     prior = 0.5 * (1 - math.exp(-10.0 / 50.0))
     assert abs(p[:, 8, :].mean() - prior) < prior  # same order
+
+
+def test_turn_weights_fast_matches_reference(setup):
+    """The WHT-based fast path equals turn_scores' weights wherever they
+    are finite (the MINFACTOR sentinel may differ in magnitude only)."""
+    from cnf2freq_tpu.hmm.probes import turn_weights_fast
+    ped, eng, fbatch, blocks, fbres, total = setup
+    ts = turn_scores(fbres, fbatch, ped.config)
+    fast = np.asarray(turn_weights_fast(fbres, fbatch, ped.config))
+    ref = np.asarray(ts.weight)
+    finite = (ref > -1e10) & (fast > -1e10)
+    assert finite.mean() > 0.5
+    np.testing.assert_allclose(fast[finite], ref[finite], rtol=1e-7,
+                               atol=1e-9)
+    # sentinel agreement: both paths flag the same infeasible turns
+    np.testing.assert_array_equal(ref > -1e10, fast > -1e10)
