@@ -46,10 +46,17 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
     fbres = forward_backward(e, dists, cfg, params)
     total = combined_loglik(fbres, fb.shiftignore)
     W = posterior_weight(fbres, total, fb.shiftignore)
-    hs = haplo_stats(W, blocks, fb, cfg)
+    # collapse each parent branch against the posterior once; shared by
+    # the haplo and infprob contractions (probes.side_collapse)
+    from .hmm.probes import _valid_paths, _w_bits, side_collapse
+    V = [_valid_paths(fb.flag2ignore, k).astype(W.dtype) for k in range(2)]
+    PBm = [blocks.pb[k] * V[k][:, None, None, None, :, None]
+           for k in range(2)]
+    t01 = side_collapse(PBm, _w_bits(W, cfg))
+    hs = haplo_stats(W, blocks, fb, cfg, t01=t01)
     B, M = fb.md.shape[0], fb.md.shape[2]
     if with_infprobs:
-        ist = infprob_stats(W, blocks, fb, cfg)
+        ist = infprob_stats(W, blocks, fb, cfg, t01=t01)
         inf_accum, pair = ist.accum, ist.pair
     else:
         inf_accum = jnp.zeros((B, M, cfg.numslots, 2, 2), dtype=e.dtype)

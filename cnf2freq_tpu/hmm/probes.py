@@ -82,11 +82,26 @@ class HaploStats(NamedTuple):
     mask: jnp.ndarray   # [b, m, slot(7)] bool
 
 
+def side_collapse(PB, Wr):
+    """(T1, T0): the posterior tensor with one parent branch absorbed.
+
+    T1[z,m,r,a,u,t] folds branch 1 (and Wr) away for probes resolved on
+    branch 0; T0[z,m,r,b,v,t] vice versa.  Wr — by far the largest
+    operand — is read once here instead of once per downstream einsum."""
+    T1 = jnp.einsum("zmrbqv,zmbavut->zmraut", PB[1], Wr)
+    T0 = jnp.einsum("zmrapu,zmbavut->zmrbvt", PB[0], Wr)
+    return T1, T0
+
+
 def haplo_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
-                cfg: ModelConfig, ci: bool = False) -> HaploStats:
+                cfg: ModelConfig, ci: bool = False,
+                t01=None) -> HaploStats:
     """Posterior-weighted phase-interpretation counts per slot: the exact
     tensor form of summing updatehaplo over all (q, g, flag2, shift) probes
-    (cnF2freq.cpp:5556, 1561-1575)."""
+    (cnF2freq.cpp:5556, 1561-1575).
+
+    t01: optional precomputed side_collapse result (shared with
+    infprob_stats by the engine)."""
     Wr = _w_bits(W, cfg)
     froot, pb = blocks.froot, blocks.pb
     V = [_valid_paths(fb.flag2ignore, k).astype(W.dtype) for k in range(2)]
@@ -95,31 +110,34 @@ def haplo_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
 
     # path-summed blocks under the canonical mask
     pbs = [jnp.einsum("zmrfps,zp->zmrfs", pb[k], V[k]) for k in range(2)]
+    if t01 is None:
+        PB = [pb[k] * V[k][:, None, None, None, :, None] for k in range(2)]
+        t01 = side_collapse(PB, Wr)
+    T1, T0 = t01
 
     stats = []
     # focal (slot 0)
     INDF = jnp.asarray(_IND_FOCAL, dtype=W.dtype)
-    stats.append(jnp.einsum("zmrt,zmrau,zmrbv,zmbavut,rtj->zmj",
-                            froot, pbs[0], pbs[1], Wr, INDF))
+    stats.append(jnp.einsum("zmrt,zmrau,zmraut,rtj->zmj",
+                            froot, pbs[0], T1, INDF))
     for k in range(2):
-        o = 1 - k
-        # parent k phase-resolved block
+        # parent k phase-resolved block against the opposite side's
+        # collapsed posterior
         ph_p = jnp.einsum("zmrfps,zp,fpsj->zmrfsj", pb[k], V[k], IND_P)
-        ops = (froot, ph_p, pbs[o], Wr)
         if k == 0:
-            par = jnp.einsum("zmrt,zmrauj,zmrbv,zmbavut->zmj", *ops)
+            par = jnp.einsum("zmrt,zmrauj,zmraut->zmj", froot, ph_p, T1)
         else:
-            par = jnp.einsum("zmrt,zmrbvj,zmrau,zmbavut->zmj", *ops)
+            par = jnp.einsum("zmrt,zmrbvj,zmrbvt->zmj", froot, ph_p, T0)
         stats.append(par)
         for j in range(2):
             ph_g = jnp.einsum("zmrfps,zp,fpsj->zmrfsj", pb[k], V[k],
                               IND_G[j])
             if k == 0:
-                gp = jnp.einsum("zmrt,zmrauj,zmrbv,zmbavut->zmj",
-                                froot, ph_g, pbs[o], Wr)
+                gp = jnp.einsum("zmrt,zmrauj,zmraut->zmj",
+                                froot, ph_g, T1)
             else:
-                gp = jnp.einsum("zmrt,zmrbvj,zmrau,zmbavut->zmj",
-                                froot, ph_g, pbs[o], Wr)
+                gp = jnp.einsum("zmrt,zmrbvj,zmrbvt->zmj",
+                                froot, ph_g, T0)
             stats.append(gp)
     # reorder from [focal, p0, gp00, gp01, p1, gp10, gp11] — already the
     # slot layout
@@ -289,7 +307,8 @@ def _share_blocks(fb: FamilyBatch, cfg: ModelConfig, side: int, mv: int,
 
 
 def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
-                  cfg: ModelConfig, ci: bool = False) -> InfprobStats:
+                  cfg: ModelConfig, ci: bool = False,
+                  t01=None) -> InfprobStats:
     """For every (b, m): the GENOS accumulator additions per family slot,
     allele slot and candidate allele, plus the joint ordered-genotype
     posterior.
@@ -327,20 +346,27 @@ def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
     RP = jnp.asarray(RP, dtype=dtype)
     RGSEL = [jnp.asarray(x, dtype=dtype) for x in RGSEL]
 
+    # Pre-contract the big posterior tensor ONCE per side: the untraced
+    # branch and Wr collapse into small [z,m,r,fp,sk,s0] tensors, so the
+    # per-(side, mv) einsums below never touch Wr again (HBM-traffic
+    # optimisation: Wr is the largest operand by far).
+    # letters: a=fp0, p=fpath0, u=s1; b=fp1, q=fpath1, v=s2; t=s0
+    if t01 is None:
+        t01 = side_collapse(PB, Wr)
+    T1, T0 = t01
+
     # per-slot, per-allele-slot, per-mv accumulations
     out = {s: jnp.zeros(W.shape[:2] + (2, 2), dtype=dtype)
            for s in range(cfg.numslots)}
     for mvi, mv in enumerate((1, 2)):
-        # side 0: traced branch is parent 0 (letters: a=fp0, p=fpath0,
-        # u=s1; untraced b=fp1, q=fpath1, v=s2; t=s0)
+        # side 0: traced branch is parent 0
         G0 = jnp.einsum("zmrapu,zmraptu->zmraptu",
                         PB[0][..., :, :, :], shares[(0, mv)])
-        nf0 = jnp.einsum("zmrt,zmraptu,zmrbqv,zmbavut->zmr",
-                         froot, G0, PB[1], Wr)
-        np0 = jnp.einsum("zmrt,zmraptu,zmrbqv,zmbavut,pw->zmw",
-                         froot, G0, PB[1], Wr, RP)
-        ng = [jnp.einsum("zmrt,zmraptu,zmrbqv,zmbavut,apw->zmw",
-                         froot, G0, PB[1], Wr, RGSEL[j]) for j in range(2)]
+        nf0 = jnp.einsum("zmrt,zmraptu,zmraut->zmr", froot, G0, T1)
+        np0 = jnp.einsum("zmrt,zmraptu,zmraut,pw->zmw",
+                         froot, G0, T1, RP)
+        ng = [jnp.einsum("zmrt,zmraptu,zmraut,apw->zmw",
+                         froot, G0, T1, RGSEL[j]) for j in range(2)]
         out[0] = out[0].at[..., :, mvi].add(
             jnp.stack([nf0[..., 0], nf0[..., 1]], axis=-1))
         out[cfg.parent_slot(0)] = \
@@ -352,12 +378,11 @@ def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
         # side 1: traced branch is parent 1
         G1 = jnp.einsum("zmrbqv,zmrbqtv->zmrbqtv",
                         PB[1], shares[(1, mv)])
-        nf1 = jnp.einsum("zmrt,zmrbqtv,zmrapu,zmbavut->zmr",
-                         froot, G1, PB[0], Wr)
-        np1 = jnp.einsum("zmrt,zmrbqtv,zmrapu,zmbavut,qw->zmw",
-                         froot, G1, PB[0], Wr, RP)
-        ng1 = [jnp.einsum("zmrt,zmrbqtv,zmrapu,zmbavut,bqw->zmw",
-                          froot, G1, PB[0], Wr, RGSEL[j]) for j in range(2)]
+        nf1 = jnp.einsum("zmrt,zmrbqtv,zmrbvt->zmr", froot, G1, T0)
+        np1 = jnp.einsum("zmrt,zmrbqtv,zmrbvt,qw->zmw",
+                         froot, G1, T0, RP)
+        ng1 = [jnp.einsum("zmrt,zmrbqtv,zmrbvt,bqw->zmw",
+                          froot, G1, T0, RGSEL[j]) for j in range(2)]
         # focal allele-slot for side 1 is 1 - r
         out[0] = out[0].at[..., :, mvi].add(
             jnp.stack([nf1[..., 1], nf1[..., 0]], axis=-1))
@@ -370,15 +395,18 @@ def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
     accum = jnp.stack([out[s] for s in range(cfg.numslots)], axis=2)
 
     # joint ordered-genotype posterior (the PlantImpute output table rows,
-    # demo.sh:30-31): both sides' shares applied to the same posterior mass
+    # demo.sh:30-31): both sides' shares applied to the same posterior
+    # mass, with each side's branch pre-collapsed to [z,m,r,fp,sk,s0]
+    P0 = {mv: jnp.einsum("zmrapu,zmraptu->zmraut", PB[0],
+                         shares[(0, mv)]) for mv in (1, 2)}
+    P1 = {mv: jnp.einsum("zmrbqv,zmrbqtv->zmrbvt", PB[1],
+                         shares[(1, mv)]) for mv in (1, 2)}
     pairs = []
     for mv0 in (1, 2):
         row = []
         for mv1 in (1, 2):
-            row.append(jnp.einsum(
-                "zmrt,zmraptu,zmrbqtv,zmrapu,zmrbqv,zmbavut->zm",
-                froot, shares[(0, mv0)], shares[(1, mv1)],
-                PB[0], PB[1], Wr))
+            row.append(jnp.einsum("zmrt,zmraut,zmrbvt,zmbavut->zm",
+                                  froot, P0[mv0], P1[mv1], Wr))
         pairs.append(jnp.stack(row, axis=-1))
     pair = jnp.stack(pairs, axis=-2)     # [b, m, mv0, mv1]
     return InfprobStats(accum=accum, pair=pair)
