@@ -142,3 +142,57 @@ def test_map_reestimation_recovers_rates():
     est = ped.actrec[0, 1:]
     # true simulated rate is -0.02 per cM
     assert np.abs(est.mean() + 0.02) < 0.008
+
+
+def test_demo_golden_artifact_parity():
+    """Genotype-class calls match the reference's checked-in golden output
+    (demooutput) on every real marker for both imputed individuals.
+
+    demooutput is the PlantImpute workflow's only regression artifact
+    (SURVEY.md §4); marker 17 is the mandatory trailing dummy
+    (demo.sh:22-23) whose values are meaningless padding and excluded."""
+    import io
+
+    from cnf2freq_tpu.io import load_plantimpute
+    from cnf2freq_tpu.io.outputs import write_genotype_table
+
+    def parse_blocks(text):
+        blocks = {}
+        cur = None
+        for line in text.splitlines():
+            if not line.strip():
+                continue
+            if "\t" not in line:
+                cur = line.strip()
+                blocks[cur] = []
+            else:
+                blocks[cur].append([float(v) for v in line.split("\t")])
+        return {k: np.array(v) for k, v in blocks.items()}
+
+    with open("/root/reference/demooutput") as f:
+        want = parse_blocks(f.read())
+
+    ped = load_plantimpute("/root/reference/demoplantimpute.map",
+                           "/root/reference/demoplantimpute.ped",
+                           "/root/reference/demoplantimpute.gen")
+    drv = Driver(ped)
+    drv.preprocess()
+    for i in range(6):
+        drv.iterate(early=(i == 0))
+    buf = io.StringIO()
+    write_genotype_table(ped, drv.pair_tables, buf)
+    got = parse_blocks(buf.getvalue())
+
+    for name in ("C:1", "D:1"):
+        w = want[name]
+        g = got[name][:, :w.shape[1]]
+        assert w.shape[0] == 18 and g.shape[0] >= 17
+        np.testing.assert_array_equal(
+            np.argmax(g[:17], axis=1), np.argmax(w[:17], axis=1),
+            err_msg=f"genotype-class call mismatch vs demooutput, {name}")
+        # calls the reference makes with certainty (>0.95) we make with
+        # high confidence too (masked-marker posteriors differ in
+        # sharpness — the two optimisers converge along different paths —
+        # but agree in call and calibration direction)
+        sure = w[:17].max(axis=1) > 0.95
+        assert (g[:17][sure].max(axis=1) > 0.8).all()
