@@ -110,35 +110,26 @@ def haplo_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
 
     # path-summed blocks under the canonical mask
     pbs = [jnp.einsum("zmrfps,zp->zmrfs", pb[k], V[k]) for k in range(2)]
+    PB = [pb[k] * V[k][:, None, None, None, :, None] for k in range(2)]
     if t01 is None:
-        PB = [pb[k] * V[k][:, None, None, None, :, None] for k in range(2)]
         t01 = side_collapse(PB, Wr)
     T1, T0 = t01
 
     stats = []
-    # focal (slot 0)
+    # focal (slot 0): keep (r, t) for the focal-phase indicator
     INDF = jnp.asarray(_IND_FOCAL, dtype=W.dtype)
-    stats.append(jnp.einsum("zmrt,zmrau,zmraut,rtj->zmj",
-                            froot, pbs[0], T1, INDF))
+    F = jnp.einsum("zmrau,zmraut->zmrt", pbs[0], T1)
+    stats.append(jnp.einsum("zmrt,zmrt,rtj->zmj", froot, F, INDF))
     for k in range(2):
-        # parent k phase-resolved block against the opposite side's
-        # collapsed posterior
-        ph_p = jnp.einsum("zmrfps,zp,fpsj->zmrfsj", pb[k], V[k], IND_P)
+        # one moment tensor per side — each big operand read once; every
+        # slot stat is then a tiny indicator projection of Y
         if k == 0:
-            par = jnp.einsum("zmrt,zmrauj,zmraut->zmj", froot, ph_p, T1)
+            Y = jnp.einsum("zmrt,zmrapu,zmraut->zmapu", froot, PB[0], T1)
         else:
-            par = jnp.einsum("zmrt,zmrbvj,zmrbvt->zmj", froot, ph_p, T0)
-        stats.append(par)
+            Y = jnp.einsum("zmrt,zmrbqv,zmrbvt->zmbqv", froot, PB[1], T0)
+        stats.append(jnp.einsum("zmfps,fpsj->zmj", Y, IND_P))
         for j in range(2):
-            ph_g = jnp.einsum("zmrfps,zp,fpsj->zmrfsj", pb[k], V[k],
-                              IND_G[j])
-            if k == 0:
-                gp = jnp.einsum("zmrt,zmrauj,zmraut->zmj",
-                                froot, ph_g, T1)
-            else:
-                gp = jnp.einsum("zmrt,zmrbvj,zmrbvt->zmj",
-                                froot, ph_g, T0)
-            stats.append(gp)
+            stats.append(jnp.einsum("zmfps,fpsj->zmj", Y, IND_G[j]))
     # reorder from [focal, p0, gp00, gp01, p1, gp10, gp11] — already the
     # slot layout
     b12 = jnp.stack(stats, axis=2)  # [b, m, 7, 2]
@@ -355,18 +346,18 @@ def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
         t01 = side_collapse(PB, Wr)
     T1, T0 = t01
 
-    # per-slot, per-allele-slot, per-mv accumulations
+    # per-slot, per-allele-slot, per-mv accumulations: one moment tensor
+    # X[z,m,r,fp,fpath] per (side, mv) — the share tensor (the largest
+    # operand) is read exactly once; every slot stat is a projection of X
     out = {s: jnp.zeros(W.shape[:2] + (2, 2), dtype=dtype)
            for s in range(cfg.numslots)}
     for mvi, mv in enumerate((1, 2)):
         # side 0: traced branch is parent 0
-        G0 = jnp.einsum("zmrapu,zmraptu->zmraptu",
-                        PB[0][..., :, :, :], shares[(0, mv)])
-        nf0 = jnp.einsum("zmrt,zmraptu,zmraut->zmr", froot, G0, T1)
-        np0 = jnp.einsum("zmrt,zmraptu,zmraut,pw->zmw",
-                         froot, G0, T1, RP)
-        ng = [jnp.einsum("zmrt,zmraptu,zmraut,apw->zmw",
-                         froot, G0, T1, RGSEL[j]) for j in range(2)]
+        X0 = jnp.einsum("zmrt,zmrapu,zmraptu,zmraut->zmrap",
+                        froot, PB[0], shares[(0, mv)], T1)
+        nf0 = X0.sum(axis=(-1, -2))                       # [z,m,r]
+        np0 = jnp.einsum("zmrap,pw->zmw", X0, RP)
+        ng = [jnp.einsum("zmrap,apw->zmw", X0, RGSEL[j]) for j in range(2)]
         out[0] = out[0].at[..., :, mvi].add(
             jnp.stack([nf0[..., 0], nf0[..., 1]], axis=-1))
         out[cfg.parent_slot(0)] = \
@@ -376,13 +367,11 @@ def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
                 out[cfg.grandparent_slot(0, j)].at[..., :, mvi].add(ng[j])
 
         # side 1: traced branch is parent 1
-        G1 = jnp.einsum("zmrbqv,zmrbqtv->zmrbqtv",
-                        PB[1], shares[(1, mv)])
-        nf1 = jnp.einsum("zmrt,zmrbqtv,zmrbvt->zmr", froot, G1, T0)
-        np1 = jnp.einsum("zmrt,zmrbqtv,zmrbvt,qw->zmw",
-                         froot, G1, T0, RP)
-        ng1 = [jnp.einsum("zmrt,zmrbqtv,zmrbvt,bqw->zmw",
-                          froot, G1, T0, RGSEL[j]) for j in range(2)]
+        X1 = jnp.einsum("zmrt,zmrbqv,zmrbqtv,zmrbvt->zmrbq",
+                        froot, PB[1], shares[(1, mv)], T0)
+        nf1 = X1.sum(axis=(-1, -2))
+        np1 = jnp.einsum("zmrbq,qw->zmw", X1, RP)
+        ng1 = [jnp.einsum("zmrbq,bqw->zmw", X1, RGSEL[j]) for j in range(2)]
         # focal allele-slot for side 1 is 1 - r
         out[0] = out[0].at[..., :, mvi].add(
             jnp.stack([nf1[..., 1], nf1[..., 0]], axis=-1))
@@ -396,19 +385,14 @@ def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
 
     # joint ordered-genotype posterior (the PlantImpute output table rows,
     # demo.sh:30-31): both sides' shares applied to the same posterior
-    # mass, with each side's branch pre-collapsed to [z,m,r,fp,sk,s0]
-    P0 = {mv: jnp.einsum("zmrapu,zmraptu->zmraut", PB[0],
-                         shares[(0, mv)]) for mv in (1, 2)}
-    P1 = {mv: jnp.einsum("zmrbqv,zmrbqtv->zmrbvt", PB[1],
-                         shares[(1, mv)]) for mv in (1, 2)}
-    pairs = []
-    for mv0 in (1, 2):
-        row = []
-        for mv1 in (1, 2):
-            row.append(jnp.einsum("zmrt,zmraut,zmrbvt,zmbavut->zm",
-                                  froot, P0[mv0], P1[mv1], Wr))
-        pairs.append(jnp.stack(row, axis=-1))
-    pair = jnp.stack(pairs, axis=-2)     # [b, m, mv0, mv1]
+    # mass, with each side's branch pre-collapsed to [z,m,r,fp,sk,s0];
+    # the mv axes are stacked so the full posterior Wr is read once
+    P0 = jnp.stack([jnp.einsum("zmrapu,zmraptu->zmraut", PB[0],
+                               shares[(0, mv)]) for mv in (1, 2)], axis=2)
+    P1 = jnp.stack([jnp.einsum("zmrbqv,zmrbqtv->zmrbvt", PB[1],
+                               shares[(1, mv)]) for mv in (1, 2)], axis=2)
+    pair = jnp.einsum("zmrt,zmiraut,zmjrbvt,zmbavut->zmij",
+                      froot, P0, P1, Wr)   # [b, m, mv0, mv1]
     return InfprobStats(accum=accum, pair=pair)
 
 
