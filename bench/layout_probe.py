@@ -43,15 +43,23 @@ def flat(share_f, PB_bc, T1_bc, fr_bc):
     return prod @ Pj
 
 
+K = 20
 def timeit(name, fn, *args):
     @jax.jit
-    def reduced(*a):
-        return jnp.sum(fn(*a))
-    _ = float(np.asarray(reduced(*args)))
+    def chained(*a):
+        def body(i, carry):
+            eps, acc = carry
+            pert = [x + eps.astype(x.dtype) for x in a]
+            return (jnp.sum(fn(*pert)) * 1e-30,
+                    acc + jnp.sum(fn(*pert)))
+        import jax as _j
+        return _j.lax.fori_loop(0, K, body,
+                                (jnp.float32(0.0), jnp.float32(0.0)))[1]
+    _ = float(np.asarray(chained(*args)))
     t0 = time.perf_counter()
-    for _ in range(10):
-        s = float(np.asarray(reduced(*args)))
-    dt = (time.perf_counter() - t0) / 10
+    for _ in range(3):
+        s = float(np.asarray(chained(*args)))
+    dt = ((time.perf_counter() - t0) / 3 - 0.043) / K
     print(f"{name:30s} {dt*1e3:8.2f} ms")
 
 

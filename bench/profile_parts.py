@@ -38,19 +38,33 @@ fbj = fb.map(jnp.asarray)
 dj = jnp.asarray(dists)
 
 
-def timeit(name, fn, *args):
-    # reduce to one scalar on device, read it back: block_until_ready
-    # under-reports on the axon tunnel and full-tensor readback is slow
-    @jax.jit
-    def reduced(*a):
-        leaves = jax.tree_util.tree_leaves(fn(*a))
-        return sum(jnp.sum(x) for x in leaves)
+K = int(os.environ.get("PROF_K", 10))
+FLOOR = 0.043   # measured per-dispatch tunnel latency (floor_probe.py)
 
-    _ = float(np.asarray(reduced(*args)))
+
+def timeit(name, fn, *args):
+    # chain K data-dependent reps inside one jit call to amortize the
+    # ~43ms axon dispatch floor; reduce to a scalar and read it back
+    # (block_until_ready under-reports on the tunnel)
+    @jax.jit
+    def chained(*a):
+        def body(i, carry):
+            eps, acc = carry
+            pert = jax.tree_util.tree_map(
+                lambda x: x + eps.astype(x.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, a)
+            leaves = jax.tree_util.tree_leaves(fn(*pert))
+            s = sum(jnp.sum(x).astype(jnp.float32) for x in leaves)
+            return (s * 1e-30, acc + s)
+
+        return jax.lax.fori_loop(
+            0, K, body, (jnp.float32(0.0), jnp.float32(0.0)))[1]
+
+    _ = float(np.asarray(chained(*args)))
     t0 = time.perf_counter()
-    for _ in range(5):
-        s = float(np.asarray(reduced(*args)))
-    dt = (time.perf_counter() - t0) / 5
+    for _ in range(3):
+        s = float(np.asarray(chained(*args)))
+    dt = ((time.perf_counter() - t0) / 3 - FLOOR) / K
     print(f"{name:30s} {dt*1e3:8.2f} ms")
 
 

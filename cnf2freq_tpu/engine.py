@@ -38,13 +38,53 @@ class ScanResult(NamedTuple):
     bw_f: jnp.ndarray
 
 
+def _stats_pallas_default(cfg: ModelConfig) -> bool:
+    import os
+    env = os.environ.get("CNF2FREQ_STATS_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    # 3.2x whole-iteration win on v5e (0.135 -> 0.042 s at B=1000,
+    # M=192); the XLA stats stage is the copy/fusion-bound bulk of the
+    # scan (bench/profile_parts.py)
+    return jax.default_backend() not in ("cpu",)
+
+
 def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
                     params: RuntimeParams, with_infprobs: bool = True,
-                    with_coherence: bool = False) -> ScanResult:
+                    with_coherence: bool = False,
+                    use_stats_pallas: bool = None) -> ScanResult:
     blocks = build_blocks(fb, cfg, dtype=fb.ms.dtype)
     e = assemble_e_all(blocks, cfg)
     fbres = forward_backward(e, dists, cfg, params)
     total = combined_loglik(fbres, fb.shiftignore)
+    B, M = fb.md.shape[0], fb.md.shape[2]
+    if use_stats_pallas is None:
+        use_stats_pallas = _stats_pallas_default(cfg)
+    # Mosaic has no f64 lowering; CPU runs use interpret mode where any
+    # dtype is fine
+    stats_dtype_ok = (fb.ms.dtype == jnp.float32
+                      or jax.default_backend() == "cpu")
+    if use_stats_pallas and with_infprobs and cfg.numslots == 7 \
+            and stats_dtype_ok:
+        # fused single-pass kernel over (b, m) tiles (ops/stats_pallas.py)
+        from .hmm.probes import haplo_update_mask
+        from .ops.stats_pallas import stats_pallas
+        b12, inf_accum, pair = stats_pallas(
+            fb, fbres.fw_pre, fbres.bw, fbres.fw_pre_f, fbres.bw_f,
+            total, cfg, interpret=jax.default_backend() == "cpu")
+        hmask = haplo_update_mask(fb, cfg)
+        turn_w = turn_weights_fast(fbres, fb, cfg)
+        if with_coherence:
+            lam = transition_eigenvalues(
+                cfg, interval_recomb(cfg, params, dists)).astype(e.dtype)
+            coh = phase_coherence(fbres, blocks, fb, cfg, lam)
+        else:
+            coh = jnp.full((B, M, cfg.numslots), 0.5, dtype=e.dtype)
+        return ScanResult(total=total, haplo_b12=b12, haplo_mask=hmask,
+                          inf_accum=inf_accum, pair=pair,
+                          turn_weight=turn_w, coherence=coh,
+                          fw_pre=fbres.fw_pre, bw=fbres.bw,
+                          fw_pre_f=fbres.fw_pre_f, bw_f=fbres.bw_f)
     W = posterior_weight(fbres, total, fb.shiftignore)
     # collapse each parent branch against the posterior once; shared by
     # the haplo and infprob contractions (probes.side_collapse)
@@ -54,7 +94,6 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
            for k in range(2)]
     t01 = side_collapse(PBm, _w_bits(W, cfg))
     hs = haplo_stats(W, blocks, fb, cfg, t01=t01)
-    B, M = fb.md.shape[0], fb.md.shape[2]
     if with_infprobs:
         ist = infprob_stats(W, blocks, fb, cfg, t01=t01)
         inf_accum, pair = ist.accum, ist.pair

@@ -92,7 +92,7 @@ def forward_backward(e_all: jnp.ndarray, dists: jnp.ndarray,
         return (pnext, logf), (pre, pre_f, pn, logf)
 
     _, (fw_pre, fw_pre_f, fw_post, fw_post_f) = jax.lax.scan(
-        fwd_step, (p0, f0), (e_scan, lam_pad))
+        fwd_step, (p0, f0), (e_scan, lam_pad), unroll=8)
 
     # Backward: at marker m the stored vector folds in emissions at
     # m+1..M-1 and the interval transitions (realanalyze backward sweep,
@@ -109,7 +109,7 @@ def forward_backward(e_all: jnp.ndarray, dists: jnp.ndarray,
     e_rev = e_scan[1:][::-1]        # emissions at markers M-1 .. 1
     lam_rev = lam[::-1]
     _, (bw_rest, bw_rest_f) = jax.lax.scan(
-        bwd_step, (ones, f0), (e_rev, lam_rev))
+        bwd_step, (ones, f0), (e_rev, lam_rev), unroll=8)
     bw = jnp.concatenate([bw_rest[::-1],
                           ones[None]], axis=0)
     bw_f = jnp.concatenate([bw_rest_f[::-1],

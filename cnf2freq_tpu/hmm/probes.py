@@ -134,9 +134,15 @@ def haplo_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
     # slot layout
     b12 = jnp.stack(stats, axis=2)  # [b, m, 7, 2]
 
-    # which slots actually receive updates: visited, existing, and not in
-    # the duplicate-allele collapse branch (doupdatehaplo,
-    # cnF2freq.cpp:1224-1252)
+    return HaploStats(b12=b12, mask=haplo_update_mask(fb, cfg, ci))
+
+
+def haplo_update_mask(fb: FamilyBatch, cfg: ModelConfig,
+                      ci: bool = False) -> jnp.ndarray:
+    """[b, m, slot] bool: which slots actually receive haplo updates —
+    visited, existing, and not in the duplicate-allele collapse branch
+    (doupdatehaplo, cnF2freq.cpp:1224-1252).  Shared by the XLA and
+    Pallas stats paths."""
     collapse = (fb.md[..., 0] == fb.md[..., 1]) & \
         (ci | (fb.ms[..., 0] == fb.ms[..., 1]))     # [b, slot, m]
     collapse = jnp.moveaxis(collapse, 1, 2)          # [b, m, slot]
@@ -153,8 +159,7 @@ def haplo_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
             gs = cfg.grandparent_slot(k, j)
             slot_vis.append(pv & ~pat & exists[..., gs:gs + 1])
     vis = jnp.concatenate(slot_vis, axis=-1)
-    mask = vis & exists & ~collapse
-    return HaploStats(b12=b12, mask=mask)
+    return vis & exists & ~collapse
 
 
 class TurnScores(NamedTuple):
@@ -385,14 +390,16 @@ def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
 
     # joint ordered-genotype posterior (the PlantImpute output table rows,
     # demo.sh:30-31): both sides' shares applied to the same posterior
-    # mass, with each side's branch pre-collapsed to [z,m,r,fp,sk,s0];
-    # the mv axes are stacked so the full posterior Wr is read once
+    # mass.  Branch 1 (share-resolved, mv1-stacked) folds against the full
+    # posterior Wr in ONE side_collapse-style contraction; the pair table
+    # is then a contraction of small [.,64]-scale tensors only.
     P0 = jnp.stack([jnp.einsum("zmrapu,zmraptu->zmraut", PB[0],
                                shares[(0, mv)]) for mv in (1, 2)], axis=2)
     P1 = jnp.stack([jnp.einsum("zmrbqv,zmrbqtv->zmrbvt", PB[1],
                                shares[(1, mv)]) for mv in (1, 2)], axis=2)
-    pair = jnp.einsum("zmrt,zmiraut,zmjrbvt,zmbavut->zmij",
-                      froot, P0, P1, Wr)   # [b, m, mv0, mv1]
+    T1mv = jnp.einsum("zmjrbvt,zmbavut->zmjraut", P1, Wr)
+    pair = jnp.einsum("zmrt,zmiraut,zmjraut->zmij",
+                      froot, P0, T1mv)   # [b, m, mv0, mv1]
     return InfprobStats(accum=accum, pair=pair)
 
 
