@@ -152,7 +152,8 @@ def fb_sweeps_pallas(e_all: jnp.ndarray, lam: jnp.ndarray,
         out_shape=shapes,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(e_pad, lam_pad, h)
 
@@ -164,7 +165,8 @@ def fb_sweeps_pallas(e_all: jnp.ndarray, lam: jnp.ndarray,
         out_shape=(shapes[0], shapes[1]),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(e_pad, lam_pad, h)
 
