@@ -158,9 +158,9 @@ def make_jitted_recomb(cfg: ModelConfig, params: RuntimeParams):
         lam = transition_eigenvalues(
             cfg, interval_recomb(cfg, params, dists)).astype(fw_pre.dtype)
         pe = fw_pre * e
-        s = pe.sum(axis=2, keepdims=True)
+        s = pe.sum(axis=-1, keepdims=True)
         fw_post = jnp.where(s > 0, pe / jnp.where(s > 0, s, 1.0), 0.0)
-        fw_post_f = fw_pre_f + jnp.log(jnp.maximum(s[:, :, 0, :], 1e-300))
+        fw_post_f = fw_pre_f + jnp.log(jnp.maximum(s[..., 0], 1e-300))
         fbres = FBResult(fw_pre=fw_pre, fw_post=fw_post, bw=bw,
                          fw_pre_f=fw_pre_f, fw_post_f=fw_post_f, bw_f=bw_f)
         return recombination_expectations(fbres, e, cfg, lam)

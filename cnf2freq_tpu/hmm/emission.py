@@ -397,15 +397,17 @@ def _canonical_only(dtype):
 
 
 def assemble_e_all(blocks: EmissionBlocks, cfg: ModelConfig) -> jnp.ndarray:
-    """E_all[b, m, g, s] from factored blocks (path axes summed)."""
+    """E_all[b, m, s, g] from factored blocks (path axes summed) — shift
+    second-minor, state g MINOR (the TPU lane axis of the sweeps)."""
     s0 = blocks.pb[0].sum(axis=-2)
     s1 = blocks.pb[1].sum(axis=-2)
-    e = jnp.einsum("...rt,...rau,...rbv->...bavut", blocks.froot, s0, s1)
+    e = jnp.einsum("...rt,...rau,...rbv->...vutba", blocks.froot, s0, s1)
     B, M = e.shape[:2]
-    e = e.reshape(B, M, cfg.numtypes, cfg.numshifts)
+    e = e.reshape(B, M, cfg.numshifts, cfg.numtypes)
     tops = blocks.top.sum(axis=-2)  # sum over r0 -> [b, m, s0]
-    tops = jnp.tile(tops[:, :, None, :], (1, 1, cfg.numtypes, 4)).reshape(
-        B, M, cfg.numtypes, cfg.numshifts)
+    tops = jnp.tile(tops, (1, 1, cfg.numshifts // 2))    # [b, m, s]
+    tops = jnp.broadcast_to(tops[:, :, :, None],
+                            (B, M, cfg.numshifts, cfg.numtypes))
     focal_attop = blocks.focal_attop[:, None, None, None]
     return jnp.where(focal_attop, tops, e)
 

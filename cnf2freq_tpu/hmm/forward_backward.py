@@ -24,9 +24,9 @@ from .transition import (apply_transition, interval_recomb,
 
 
 class FBResult(NamedTuple):
-    fw_pre: jnp.ndarray    # [B, M, S, NS]
-    fw_post: jnp.ndarray   # [B, M, S, NS]
-    bw: jnp.ndarray        # [B, M, S, NS]
+    fw_pre: jnp.ndarray    # [B, M, NS, S] (state minor: TPU lane axis)
+    fw_post: jnp.ndarray   # [B, M, NS, S]
+    bw: jnp.ndarray        # [B, M, NS, S]
     fw_pre_f: jnp.ndarray  # [B, M, NS] log normalisers
     fw_post_f: jnp.ndarray
     bw_f: jnp.ndarray
@@ -39,14 +39,15 @@ class FBResult(NamedTuple):
 
 def _emit_normalise(p, e, logf):
     """adjustprobs semantics (cnF2freq.cpp:1579-1670): zero-clip, multiply
-    emission, renormalise, accumulate log; impossible -> MINFACTOR."""
+    emission, renormalise, accumulate log; impossible -> MINFACTOR.
+    p, e: [..., NS, S] (state minor); logf: [..., NS]."""
     p = jnp.where(p < 1e-300, 0.0, p)
     pe = p * e
-    s = pe.sum(axis=-2, keepdims=True)           # [..., 1, NS]
+    s = pe.sum(axis=-1, keepdims=True)           # [..., NS, 1]
     ok = s > 0
     pn = jnp.where(ok, pe / jnp.where(ok, s, 1.0), 0.0)
-    logf = jnp.where(ok[..., 0, :], logf + jnp.log(jnp.where(
-        ok[..., 0, :], s[..., 0, :], 1.0)), MINFACTOR)
+    logf = jnp.where(ok[..., 0], logf + jnp.log(jnp.where(
+        ok[..., 0], s[..., 0], 1.0)), MINFACTOR)
     return pn, logf
 
 
@@ -54,11 +55,11 @@ def forward_backward(e_all: jnp.ndarray, dists: jnp.ndarray,
                      cfg: ModelConfig, params: RuntimeParams,
                      use_pallas: bool = None,
                      pallas_interpret: bool = False) -> FBResult:
-    """e_all: [B, M, S, NS] emission tensors; dists: [M-1] interval cM.
+    """e_all: [B, M, NS, S] emission tensors; dists: [M-1] interval cM.
 
     use_pallas: run the sweeps in the fused Pallas kernel (default: on
     TPU backends when the state space is the MXU-friendly 64)."""
-    B, M, S, NS = e_all.shape
+    B, M, NS, S = e_all.shape
     dtype = e_all.dtype
     r = interval_recomb(cfg, params, dists)
     lam = transition_eigenvalues(cfg, r).astype(dtype)      # [M-1, S]
@@ -80,7 +81,7 @@ def forward_backward(e_all: jnp.ndarray, dists: jnp.ndarray,
 
     e_scan = jnp.moveaxis(e_all, 1, 0)                      # [M, B, S, NS]
 
-    p0 = jnp.full((B, S, NS), cfg.evengen, dtype=dtype)
+    p0 = jnp.full((B, NS, S), cfg.evengen, dtype=dtype)
     f0 = jnp.zeros((B, NS), dtype=dtype)
 
     def fwd_step(carry, xs):
@@ -88,7 +89,7 @@ def forward_backward(e_all: jnp.ndarray, dists: jnp.ndarray,
         e, w = xs
         pre, pre_f = p, logf
         pn, logf = _emit_normalise(p, e, logf)
-        pnext = apply_transition(pn, w[None, :])
+        pnext = apply_transition(pn, w[None, None, :])
         return (pnext, logf), (pre, pre_f, pn, logf)
 
     _, (fw_pre, fw_pre_f, fw_post, fw_post_f) = jax.lax.scan(
@@ -97,23 +98,21 @@ def forward_backward(e_all: jnp.ndarray, dists: jnp.ndarray,
     # Backward: at marker m the stored vector folds in emissions at
     # m+1..M-1 and the interval transitions (realanalyze backward sweep,
     # cnF2freq.cpp:2181-2397)
-    ones = jnp.ones((B, S, NS), dtype=dtype)
+    ones = jnp.ones((B, NS, S), dtype=dtype)
 
     def bwd_step(carry, xs):
         p, logf = carry
         e, w = xs
         pn, logf = _emit_normalise(p, e, logf)
-        pprev = apply_transition(pn, w[None, :])
+        pprev = apply_transition(pn, w[None, None, :])
         return (pprev, logf), (pprev, logf)
 
-    e_rev = e_scan[1:][::-1]        # emissions at markers M-1 .. 1
-    lam_rev = lam[::-1]
+    # reverse=True walks markers M-1..1 while stacking outputs in natural
+    # order: no [::-1] materialisations of the [M, B, NS, S] tensors
     _, (bw_rest, bw_rest_f) = jax.lax.scan(
-        bwd_step, (ones, f0), (e_rev, lam_rev), unroll=8)
-    bw = jnp.concatenate([bw_rest[::-1],
-                          ones[None]], axis=0)
-    bw_f = jnp.concatenate([bw_rest_f[::-1],
-                            f0[None]], axis=0)
+        bwd_step, (ones, f0), (e_scan[1:], lam), unroll=8, reverse=True)
+    bw = jnp.concatenate([bw_rest, ones[None]], axis=0)
+    bw_f = jnp.concatenate([bw_rest_f, f0[None]], axis=0)
 
     def arrange(x):
         return jnp.moveaxis(x, 0, 1)
@@ -138,11 +137,11 @@ def combined_loglik(fb: FBResult, shiftignore: jnp.ndarray) -> jnp.ndarray:
 
 def state_posterior(fb: FBResult, total: jnp.ndarray,
                     shiftignore: jnp.ndarray) -> jnp.ndarray:
-    """P[b, m, g, s]: posterior over (state, shift) at each marker —
+    """P[b, m, s, g]: posterior over (shift, state) at each marker —
     fw_post * bw weighted by the log normalisers against the combined
     total; disallowed shift modes carry zero mass."""
     NS = fb.fw_post_f.shape[-1]
     allowed = (jnp.arange(NS)[None, :] & shiftignore[:, None]) == 0
     logw = (fb.fw_post_f + fb.bw_f - total[:, None, None])  # [B, M, NS]
     w = jnp.where(allowed[:, None, :], jnp.exp(logw), 0.0)
-    return fb.fw_post * fb.bw * w[:, :, None, :]
+    return fb.fw_post * fb.bw * w[:, :, :, None]

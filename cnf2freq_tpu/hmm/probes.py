@@ -51,19 +51,20 @@ _IND_FOCAL = ((_R0[:, None, None] ^ _S0[None, :, None]) == _J[None, None, :])
 
 def posterior_weight(fbres: FBResult, total: jnp.ndarray,
                      shiftignore: jnp.ndarray) -> jnp.ndarray:
-    """W[b, m, g, s]: the per-(state, shift) weight that multiplies E_f[g]
-    to give the posterior of a (state, path, shift) probe."""
+    """W[b, m, s, g]: the per-(shift, state) weight that multiplies E_f[g]
+    to give the posterior of a (state, path, shift) probe (state minor,
+    matching the sweep layout)."""
     NS = fbres.fw_pre_f.shape[-1]
     allowed = (jnp.arange(NS)[None, :] & shiftignore[:, None]) == 0
     logw = fbres.fw_pre_f + fbres.bw_f - total[:, None, None]
     logw = jnp.where(allowed[:, None, :], logw, MINFACTOR)
-    return fbres.fw_pre * fbres.bw * jnp.exp(logw)[:, :, None, :]
+    return fbres.fw_pre * fbres.bw * jnp.exp(logw)[:, :, :, None]
 
 
 def _w_bits(W: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
-    """Reshape W[b,m,64,8] to bit axes [b,m,fp1,fp0,s2,s1,s0]."""
+    """Reshape W[b,m,8,64] to bit axes [b,m,s2,s1,s0,fp1,fp0]."""
     B, M = W.shape[:2]
-    return W.reshape(B, M, 8, 8, 2, 2, 2)
+    return W.reshape(B, M, 2, 2, 2, 8, 8)
 
 
 def _valid_paths(flag2ignore: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -88,8 +89,8 @@ def side_collapse(PB, Wr):
     T1[z,m,r,a,u,t] folds branch 1 (and Wr) away for probes resolved on
     branch 0; T0[z,m,r,b,v,t] vice versa.  Wr — by far the largest
     operand — is read once here instead of once per downstream einsum."""
-    T1 = jnp.einsum("zmrbqv,zmbavut->zmraut", PB[1], Wr)
-    T0 = jnp.einsum("zmrapu,zmbavut->zmrbvt", PB[0], Wr)
+    T1 = jnp.einsum("zmrbqv,zmvutba->zmraut", PB[1], Wr)
+    T0 = jnp.einsum("zmrapu,zmvutba->zmrbvt", PB[0], Wr)
     return T1, T0
 
 
@@ -179,7 +180,7 @@ def turn_scores(fbres: FBResult, fb: FamilyBatch, cfg: ModelConfig,
     raw[b,m,t,s] = log sum_g fw_post[b,m,g,s] * bw[b,m,g^ts(t), s^flip(t)]
                    + fw_post_f[b,m,s] + bw_f[b,m,s^flip(t)]
     """
-    B, M, S, NS = fbres.fw_post.shape
+    B, M, NS, S = fbres.fw_post.shape
     masks = []
     for t in range(cfg.numturns):
         masks.append((t & cfg.turn_state_mask, cfg.turn_shift_flip(t)))
@@ -189,8 +190,8 @@ def turn_scores(fbres: FBResult, fb: FamilyBatch, cfg: ModelConfig,
     # backward vector (one [B,M,NS,NS] slab at a time to bound memory)
     C_parts = []
     for x in uniq_x:
-        bw_x = fbres.bw[:, :, np.arange(S) ^ x, :]
-        C_parts.append(jnp.einsum("bmgs,bmgt->bmst", fbres.fw_post, bw_x))
+        bw_x = fbres.bw[:, :, :, np.arange(S) ^ x]
+        C_parts.append(jnp.einsum("bmsg,bmtg->bmst", fbres.fw_post, bw_x))
     C = jnp.stack(C_parts, axis=2)                            # [B,M,X,S,S']
     # assemble per turn: value + factors, log domain
     tiny = jnp.asarray(1e-300, dtype=C.dtype)
@@ -237,7 +238,7 @@ def turn_weights_fast(fbres: FBResult, fb: FamilyBatch, cfg: ModelConfig,
     (numerically equal where weights are finite; tests/test_probes.py).
     """
     from .transition import hadamard
-    B, M, S, NS = fbres.fw_post.shape
+    B, M, NS, S = fbres.fw_post.shape
     dtype = fbres.fw_post.dtype
     X = S * NS
     allowed = ((jnp.arange(NS)[None, :] & fb.shiftignore[:, None]) == 0)
@@ -250,15 +251,16 @@ def turn_weights_fast(fbres: FBResult, fb: FamilyBatch, cfg: ModelConfig,
     bfm = bf.max(axis=-1)
     bexp = jnp.exp(bf - bfm[..., None])
 
-    fwp = (fbres.fw_post * fexp[:, :, None, :]).reshape(B, M, X)
-    bwp = (fbres.bw * bexp[:, :, None, :]).reshape(B, M, X)
+    # joint index: shift-major (s*S + g), matching the [.., NS, S] layout
+    fwp = (fbres.fw_post * fexp[:, :, :, None]).reshape(B, M, X)
+    bwp = (fbres.bw * bexp[:, :, :, None]).reshape(B, M, X)
 
     H = jnp.asarray(hadamard(int(X).bit_length() - 1, str(dtype)))
     fh = jnp.einsum("jk,bmk->bmj", H, fwp)
     bh = jnp.einsum("jk,bmk->bmj", H, bwp)
     D = jnp.einsum("jk,bmk->bmj", H, fh * bh) / X          # [B, M, X]
 
-    idx = np.array([(t & cfg.turn_state_mask) * NS + cfg.turn_shift_flip(t)
+    idx = np.array([cfg.turn_shift_flip(t) * S + (t & cfg.turn_state_mask)
                     for t in range(cfg.numturns)])
     vals = D[..., idx]                                     # [B, M, T]
     tiny = jnp.asarray(np.finfo(str(dtype)).tiny, dtype=dtype)
@@ -397,7 +399,7 @@ def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
                                shares[(0, mv)]) for mv in (1, 2)], axis=2)
     P1 = jnp.stack([jnp.einsum("zmrbqv,zmrbqtv->zmrbvt", PB[1],
                                shares[(1, mv)]) for mv in (1, 2)], axis=2)
-    T1mv = jnp.einsum("zmjrbvt,zmbavut->zmjraut", P1, Wr)
+    T1mv = jnp.einsum("zmjrbvt,zmvutba->zmjraut", P1, Wr)
     pair = jnp.einsum("zmrt,zmiraut,zmjraut->zmij",
                       froot, P0, T1mv)   # [b, m, mv0, mv1]
     return InfprobStats(accum=accum, pair=pair)
@@ -408,8 +410,9 @@ def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
 # ---------------------------------------------------------------------------
 def _phase_resolved_emission(blocks: EmissionBlocks, fb: FamilyBatch,
                              cfg: ModelConfig, slot: int) -> jnp.ndarray:
-    """E_j[b, m, j(2), g, s]: emission restricted to the given slot's
-    phase-interpretation bit == j, summed over all other path freedom."""
+    """E_j[b, m, j(2), s, g]: emission restricted to the given slot's
+    phase-interpretation bit == j, summed over all other path freedom
+    (state minor)."""
     dtype = blocks.froot.dtype
     V = [_valid_paths(fb.flag2ignore, k).astype(dtype) for k in range(2)]
     froot, pb = blocks.froot, blocks.pb
@@ -419,7 +422,7 @@ def _phase_resolved_emission(blocks: EmissionBlocks, fb: FamilyBatch,
     IND_G = [jnp.asarray(x, dtype=dtype) for x in _IND_GP]
 
     if slot == 0:
-        e = jnp.einsum("zmrt,zmrau,zmrbv,rtj->zmjbavut",
+        e = jnp.einsum("zmrt,zmrau,zmrbv,rtj->zmjvutba",
                        froot, pbs[0], pbs[1], INDF)
     else:
         k = 0 if slot < cfg.parent_slot(1) else 1
@@ -427,13 +430,13 @@ def _phase_resolved_emission(blocks: EmissionBlocks, fb: FamilyBatch,
         IND = IND_P if local == 0 else IND_G[local - 1]
         ph = jnp.einsum("zmrfps,zp,fpsj->zmrfsj", pb[k], V[k], IND)
         if k == 0:
-            e = jnp.einsum("zmrt,zmrauj,zmrbv->zmjbavut",
+            e = jnp.einsum("zmrt,zmrauj,zmrbv->zmjvutba",
                            froot, ph, pbs[1])
         else:
-            e = jnp.einsum("zmrt,zmrbvj,zmrau->zmjbavut",
+            e = jnp.einsum("zmrt,zmrbvj,zmrau->zmjvutba",
                            froot, ph, pbs[0])
     B, M = e.shape[:2]
-    return e.reshape(B, M, 2, cfg.numtypes, cfg.numshifts)
+    return e.reshape(B, M, 2, cfg.numshifts, cfg.numtypes)
 
 
 def phase_coherence_slot(fbres: FBResult, blocks: EmissionBlocks,
@@ -449,17 +452,17 @@ def phase_coherence_slot(fbres: FBResult, blocks: EmissionBlocks,
     fw_pre[m] * E_j[m] * T_m * E_j'[m+1] * bw[m+1] per shift mode.
     One slot per call keeps peak memory bounded at large B*M."""
     from .transition import apply_transition
-    B, M, S, NS = fbres.fw_pre.shape
+    B, M, NS, S = fbres.fw_pre.shape
     dtype = fbres.fw_pre.dtype
     logw = fbres.fw_pre_f[:, :-1, :] + fbres.bw_f[:, 1:, :]
     logw = logw - logw.max(axis=-1, keepdims=True)
     w = jnp.exp(logw)                                   # [B, M-1, NS]
 
     e_j = _phase_resolved_emission(blocks, fb, cfg, slot)
-    x = fbres.fw_pre[:, :-1, None] * e_j[:, :-1]        # [B,M-1,j,S,NS]
-    xt = apply_transition(x, lam[None, :, None])
-    y = e_j[:, 1:] * fbres.bw[:, 1:, None]              # [B,M-1,j',S,NS]
-    jmat = jnp.einsum("zmigs,zmjgs,zms->zmij", xt, y, w)
+    x = fbres.fw_pre[:, :-1, None] * e_j[:, :-1]        # [B,M-1,j,NS,S]
+    xt = apply_transition(x, lam[:, None, None, :])
+    y = e_j[:, 1:] * fbres.bw[:, 1:, None]              # [B,M-1,j',NS,S]
+    jmat = jnp.einsum("zmiag,zmjag,zma->zmij", xt, y, w)
     tot = jmat.sum(axis=(-1, -2))
     same = jmat[..., 0, 0] + jmat[..., 1, 1]
     c = jnp.where(tot > 0, same / jnp.where(tot > 0, tot, 1.0), 0.5)
@@ -491,20 +494,19 @@ def recombination_expectations(fbres: FBResult, e_all: jnp.ndarray,
     fw_post[m] * R * (E[m+1] . bw[m+1]), whose xor marginal comes out of
     one Walsh-Hadamard correlation per interval."""
     from .transition import hadamard
-    B, M, S, NS = fbres.fw_post.shape
+    B, M, NS, S = fbres.fw_post.shape
     dtype = fbres.fw_post.dtype
     H = jnp.asarray(hadamard(int(S).bit_length() - 1, str(dtype)))
 
-    x_ = fbres.fw_post[:, :-1]                        # [B,M-1,S,NS]
+    x_ = fbres.fw_post[:, :-1]                        # [B,M-1,NS,S]
     y_ = e_all[:, 1:] * fbres.bw[:, 1:]
     # xor-correlation Z[x] = sum_g X[g] Y[g^x] = H( H(X) * H(Y) ) / S
-    xh = jnp.einsum("gh,bmhs->bmgs", H, x_)
-    yh = jnp.einsum("gh,bmhs->bmgs", H, y_)
-    z = jnp.einsum("gh,bmhs->bmgs", H, xh * yh) / S
+    # (H symmetric, state minor: plain matmuls on the lane axis)
+    z = (((x_ @ H) * (y_ @ H)) @ H) / S               # [B,M-1,NS,S]
     # weight each shift mode by its posterior factor share
     logw = fbres.fw_post_f[:, :-1] + fbres.bw_f[:, 1:]
     logw = logw - logw.max(axis=-1, keepdims=True)
-    z = (z * jnp.exp(logw)[:, :, None, :]).sum(axis=-1)   # [B,M-1,S]
+    z = (z * jnp.exp(logw)[:, :, :, None]).sum(axis=2)    # [B,M-1,S]
     p = jnp.maximum(z, 0.0) * lam_to_kernel(lam, cfg)      # [B,M-1,S]
     tot = p.sum(axis=-1, keepdims=True)
     p = jnp.where(tot > 0, p / jnp.where(tot > 0, tot, 1.0), 0.0)

@@ -64,8 +64,21 @@ def transition_eigenvalues(cfg: ModelConfig, r: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_transition(probs: jnp.ndarray, what: jnp.ndarray) -> jnp.ndarray:
-    """probs [..., S, NS] convolved with the kernel whose WHT is
-    what [..., S] (broadcast over the trailing shift axis)."""
+    """probs [..., S] (state MINOR — TPU lane axis, so the two Hadamard
+    contractions are plain [rows, S] @ [S, S] MXU matmuls) convolved with
+    the kernel whose WHT is what [..., S] (broadcast over leading axes)."""
+    S = probs.shape[-1]
+    H = jnp.asarray(hadamard(int(S).bit_length() - 1,
+                             str(probs.dtype)))
+    ph = probs @ H
+    ph = ph * what
+    return (ph @ H) / S
+
+
+def apply_transition_sn(probs: jnp.ndarray, what: jnp.ndarray) -> jnp.ndarray:
+    """Legacy layout shim: probs [..., S, NS] with a trailing shift axis
+    (model-family sweeps that keep state second-minor);
+    what [..., S] broadcast over the shift axis."""
     S = probs.shape[-2]
     H = jnp.asarray(hadamard(int(S).bit_length() - 1,
                              str(probs.dtype)))

@@ -30,7 +30,8 @@ import numpy as np
 from ..config import MINFACTOR, ModelConfig, RuntimeParams
 from ..hmm.emission import assemble_e_all, build_blocks
 from ..hmm.family import FamilyBatch
-from ..hmm.transition import (apply_transition, interval_recomb,
+from ..hmm.transition import (apply_transition_sn as apply_transition,
+                              interval_recomb,
                               transition_eigenvalues)
 
 
@@ -45,8 +46,10 @@ def relstate_emission(fb: FamilyBatch, cfg: ModelConfig, ci: bool = False,
         mask = jnp.asarray(np.arange(2) == rel, dtype=dtype)
         froot = blocks.froot * mask[None, None, :, None]
         top = blocks.top * mask[None, None, :, None]
-        es.append(assemble_e_all(blocks._replace(froot=froot, top=top),
-                                 cfg))
+        # assemble_e_all is state-minor [B, M, NS, S]; legacy order here
+        es.append(jnp.moveaxis(
+            assemble_e_all(blocks._replace(froot=froot, top=top), cfg),
+            -1, -2))
     return jnp.stack(es, axis=2)
 
 

@@ -32,7 +32,8 @@ import numpy as np
 from ..config import MINFACTOR, ModelConfig, RuntimeParams, SEXMARKER, UNKNOWN
 from ..hmm.emission import assemble_e_all, build_blocks
 from ..hmm.family import FamilyBatch
-from ..hmm.transition import (apply_transition, interval_recomb,
+from ..hmm.transition import (apply_transition_sn as apply_transition,
+                              interval_recomb,
                               transition_eigenvalues)
 
 
@@ -64,7 +65,12 @@ def selfing_emission(fb: FamilyBatch, cfg: ModelConfig, ci: bool = False,
     collapsed pair on interpretation slot 0/1 (selfindex = (selfval>>1)^f2n,
     cnF2freq.cpp:1131)."""
     assert cfg.selfing
-    e0 = assemble_e_all(build_blocks(fb, cfg, ci=ci, dtype=dtype), cfg)
+    # assemble_e_all is state-minor [B, M, NS, S]; this sweep keeps the
+    # legacy [S, NS] order
+    def _sn(e):
+        return jnp.moveaxis(e, -1, -2)
+
+    e0 = _sn(assemble_e_all(build_blocks(fb, cfg, ci=ci, dtype=dtype), cfg))
 
     md, ms = fb.md[:, 0], fb.ms[:, 0]
     collapsed, csure, dead = collapse_focal(md, ms)
@@ -80,7 +86,7 @@ def selfing_emission(fb: FamilyBatch, cfg: ModelConfig, ci: bool = False,
         else:
             ov = (unk, zero, collapsed, csure, coll_cond)
         blocks = build_blocks(fb, cfg, ci=ci, dtype=dtype, root_override=ov)
-        es.append(assemble_e_all(blocks, cfg) * alive)
+        es.append(_sn(assemble_e_all(blocks, cfg)) * alive)
     return jnp.stack(es, axis=2)
 
 

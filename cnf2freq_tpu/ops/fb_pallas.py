@@ -47,9 +47,9 @@ def _step(p, f, e, h, lam, S):
 
 
 def _load_e(e_ref, TB, NS, S):
-    """e block [TB, 1, S, NS] -> [TB*NS, S] row layout."""
-    e = e_ref[:].reshape(TB, S, NS)
-    return jnp.transpose(e, (0, 2, 1)).reshape(TB * NS, S)
+    """e block [TB, 1, NS, S] -> [TB*NS, S] row layout (direct reshape:
+    state is already minor)."""
+    return e_ref[:].reshape(TB * NS, S)
 
 
 def _fwd_kernel(e_ref, lam_ref, h_ref, pre_ref, pref_ref, post_ref,
@@ -111,11 +111,11 @@ def _pad_batch(x, TB):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fb_sweeps_pallas(e_all: jnp.ndarray, lam: jnp.ndarray,
                      interpret: bool = False):
-    """e_all: [B, M, S, NS]; lam: [M-1, S] transition eigenvalues.
+    """e_all: [B, M, NS, S]; lam: [M-1, S] transition eigenvalues.
 
     Returns (fw_pre, fw_post, bw, fw_pre_f, fw_post_f, bw_f) shaped like
-    the XLA path (forward_backward)."""
-    B0, M, S, NS = e_all.shape
+    the XLA path (forward_backward): [B, M, NS, S]."""
+    B0, M, NS, S = e_all.shape
     dtype = e_all.dtype
     TB = _TB
     e_pad, B0 = _pad_batch(e_all, TB)
@@ -126,8 +126,8 @@ def fb_sweeps_pallas(e_all: jnp.ndarray, lam: jnp.ndarray,
     lam_pad = jnp.concatenate([lam, jnp.ones((1, S), dtype=dtype)], 0)
 
     grid = (nb, M)
-    espec_f = pl.BlockSpec((TB, 1, S, NS), lambda b, m: (b, m, 0, 0))
-    espec_b = pl.BlockSpec((TB, 1, S, NS),
+    espec_f = pl.BlockSpec((TB, 1, NS, S), lambda b, m: (b, m, 0, 0))
+    espec_b = pl.BlockSpec((TB, 1, NS, S),
                            lambda b, m, nm=M: (b, nm - 1 - m, 0, 0))
     lspec = pl.BlockSpec((M, S), lambda b, m: (0, 0))
     hspec = pl.BlockSpec((S, S), lambda b, m: (0, 0))
@@ -171,7 +171,7 @@ def fb_sweeps_pallas(e_all: jnp.ndarray, lam: jnp.ndarray,
     )(e_pad, lam_pad, h)
 
     def arrange(x):
-        return jnp.moveaxis(x[:B0], 2, 3)
+        return x[:B0]
 
     return (arrange(fw_pre), arrange(fw_post), arrange(bw),
             fw_pre_f[:B0, :, :, 0], fw_post_f[:B0, :, :, 0],

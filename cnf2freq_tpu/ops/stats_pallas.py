@@ -460,8 +460,15 @@ def _kernel(md_ref, ms_ref, hw_ref, ex_ref, at_ref, f2_ref, sh_ref,
     attop = at_ref[:].reshape((7,) + T) != 0
     f2ig = f2_ref[:].reshape(T)
     shig = sh_ref[:].reshape(T)
-    fw_pre = fwp_ref[:].reshape((8, 8, 2, 2, 2) + T)
-    bw = bw_ref[:].reshape((8, 8, 2, 2, 2) + T)
+    # feature index is shift-major (ns*64 + g: the cheap block-transpose
+    # of the [B, M, NS, S] sweep layout); relabel the enum axes to the
+    # kernel's flag-major order — leading-axis transposes move no lanes
+    fw_pre = jnp.transpose(
+        fwp_ref[:].reshape((2, 2, 2, 8, 8) + T),
+        (3, 4, 0, 1, 2) + tuple(range(5, 5 + len(T))))
+    bw = jnp.transpose(
+        bw_ref[:].reshape((2, 2, 2, 8, 8) + T),
+        (3, 4, 0, 1, 2) + tuple(range(5, 5 + len(T))))
     fw_pre_f = fwf_ref[:].reshape((2, 2, 2) + T)
     bw_f = bwf_ref[:].reshape((2, 2, 2) + T)
     total = tot_ref[:].reshape(T)
@@ -487,8 +494,10 @@ def stats_pallas(fb, fw_pre, bw, fw_pre_f, bw_f, total,
                  cfg: ModelConfig, interpret: bool = False):
     """Fused stats for the standard F2 engine.
 
-    fb: FamilyBatch ([B, 7, M, ...] arrays); fw_pre/bw [B, M, S, NS];
-    fw_pre_f/bw_f [B, M, NS]; total [B].
+    fb: FamilyBatch ([B, 7, M, ...] arrays); fw_pre/bw [B, M, NS, S]
+    (state minor — the transpose to tiles is then a contiguous
+    512-float block copy per (b, m) pair); fw_pre_f/bw_f [B, M, NS];
+    total [B].
     Returns (b12 [B,M,7,2], accum [B,M,7,2,2], pair [B,M,2,2])."""
     B, _, M, _ = fb.md.shape
     N = B * M

@@ -104,17 +104,30 @@ class Pedigree:
         in getind, cnF2freq.cpp:2469-2508)."""
         m = self.num_markers
         nchrom = max(self.num_chromosomes, 0)
-        for ind in self.inds[1:]:
-            if ind.markerdata is None:
-                ind.markerdata = np.full((m, 2), UNKNOWN, dtype=np.int32)
-                ind.markersure = np.zeros((m, 2))
-                ind.haploweight = np.full(m, 0.5)
-                ind.negshift = np.zeros(m)
-                ind.variances = np.zeros(m)
-                if self.config.relskews:
-                    ind.relhaplo = np.full(m, 0.5)
-                ind.lockstart = [0] * nchrom
-                ind.lastinved = [-1] * nchrom
+        todo = [ind for ind in self.inds[1:] if ind.markerdata is None]
+        if not todo:
+            self._frozen = True
+            return
+        # one block allocation per field, individuals get views: at
+        # cohort scale (1e5 inds) per-individual np.full calls dominate
+        # ingest time
+        k = len(todo)
+        md_blk = np.full((k, m, 2), UNKNOWN, dtype=np.int32)
+        ms_blk = np.zeros((k, m, 2))
+        hw_blk = np.full((k, m), 0.5)
+        ns_blk = np.zeros((k, m))
+        va_blk = np.zeros((k, m))
+        rh_blk = np.full((k, m), 0.5) if self.config.relskews else None
+        for i, ind in enumerate(todo):
+            ind.markerdata = md_blk[i]
+            ind.markersure = ms_blk[i]
+            ind.haploweight = hw_blk[i]
+            ind.negshift = ns_blk[i]
+            ind.variances = va_blk[i]
+            if rh_blk is not None:
+                ind.relhaplo = rh_blk[i]
+            ind.lockstart = [0] * nchrom
+            ind.lastinved = [-1] * nchrom
         self._frozen = True
 
     # ------------------------------------------------------------------

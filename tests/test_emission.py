@@ -10,11 +10,12 @@ from cnf2freq_tpu.hmm import emission_all, gather_family
 
 
 def golden_e_all(eng, ind, markers):
+    """[M, NS, S] to match the state-minor emission layout."""
     cfg = eng.cfg
-    out = np.zeros((len(markers), cfg.numtypes, cfg.numshifts))
+    out = np.zeros((len(markers), cfg.numshifts, cfg.numtypes))
     for mi, m in enumerate(markers):
         for s in range(cfg.numshifts):
-            out[mi, :, s] = eng.emission(ind, m, s)
+            out[mi, s, :] = eng.emission(ind, m, s)
     return out
 
 

@@ -21,16 +21,16 @@ def test_hadamard_transition_equals_dense(demo_pedigree):
     r = interval_recomb(cfg, params, dists)
     lam = transition_eigenvalues(cfg, r)
     rng = np.random.default_rng(0)
-    p = rng.random((2, 64, 8))
+    p = rng.random((2, 8, 64))        # [batch, shift, state] (state minor)
     for i in range(len(dists)):
         dense = np.asarray(transition_matrix(cfg, np.asarray(r)[i]))
-        expect = np.einsum("gh,bhs->bgs", dense, p)
+        expect = np.einsum("gh,bsh->bsg", dense, p)
         got = np.asarray(apply_transition(p, np.asarray(lam)[i][None, :]))
         np.testing.assert_allclose(got, expect, rtol=1e-12, atol=1e-14)
         # transition matches the golden per-state implementation too
         eng = GoldenEngine(demo_pedigree)
-        gold = eng.transition(p[0, :, 0], float(dists[i]))
-        np.testing.assert_allclose(np.asarray(expect)[0, :, 0], gold,
+        gold = eng.transition(p[0, 0, :], float(dists[i]))
+        np.testing.assert_allclose(np.asarray(expect)[0, 0, :], gold,
                                    rtol=1e-12)
 
 
@@ -53,13 +53,13 @@ def test_fb_matches_golden(demo_pedigree, demo_fb):
         ind = ped.by_id(n)
         for s in range(8):
             gold = eng.fwbw(ind, 0, 17, s)
-            np.testing.assert_allclose(np.asarray(fb.fw_pre)[b, :, :, s],
+            np.testing.assert_allclose(np.asarray(fb.fw_pre)[b, :, s, :],
                                        gold["fw_pre"], rtol=1e-10,
                                        atol=1e-300)
-            np.testing.assert_allclose(np.asarray(fb.fw_post)[b, :, :, s],
+            np.testing.assert_allclose(np.asarray(fb.fw_post)[b, :, s, :],
                                        gold["fw_post"], rtol=1e-10,
                                        atol=1e-300)
-            np.testing.assert_allclose(np.asarray(fb.bw)[b, :, :, s],
+            np.testing.assert_allclose(np.asarray(fb.bw)[b, :, s, :],
                                        gold["bw"], rtol=1e-10, atol=1e-300)
             np.testing.assert_allclose(np.asarray(fb.fw_pre_f)[b, :, s],
                                        gold["fw_pre_f"], rtol=1e-10)

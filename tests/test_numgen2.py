@@ -92,7 +92,7 @@ def test_embedding_matches_hand_hmm(seed):
     if not np.isfinite(gold_ll):
         assert ll < -1e10
         return
-    post = np.asarray(fbres.fw_post)[0, -1, :, 0]
+    post = np.asarray(fbres.fw_post)[0, -1, 0, :]
     cls = np.zeros(4)
     g = np.arange(64)
     for s4 in range(4):
@@ -119,5 +119,5 @@ def test_sexmarker_doubled_haploid():
     eng = GoldenEngine(ped)
     e_gold = np.stack([eng.emission(kid, m, 0) for m in range(4)])
     fb = gather_family(ped, ped.dous, 0, 3)
-    e = np.asarray(emission_all(fb, ped.config))[0, :, :, 0]
+    e = np.asarray(emission_all(fb, ped.config))[0, :, 0, :]
     np.testing.assert_allclose(e, e_gold, rtol=1e-12, atol=1e-15)
