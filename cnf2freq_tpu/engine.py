@@ -49,10 +49,31 @@ def _stats_pallas_default(cfg: ModelConfig) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _scan_v2_default(cfg: ModelConfig) -> bool:
+    import os
+    env = os.environ.get("CNF2FREQ_SCAN_V2")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() not in ("cpu",)
+
+
 def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
                     params: RuntimeParams, with_infprobs: bool = True,
                     with_coherence: bool = False,
-                    use_stats_pallas: bool = None) -> ScanResult:
+                    use_stats_pallas: bool = None,
+                    use_scan_v2: bool = None) -> ScanResult:
+    if use_scan_v2 is None:
+        use_scan_v2 = _scan_v2_default(cfg)
+    stats_dtype_ok_v2 = (fb.ms.dtype == jnp.float32
+                         or jax.default_backend() == "cpu")
+    if use_scan_v2 and with_infprobs and not with_coherence \
+            and cfg.numslots == 7 and cfg.numtypes == 64 \
+            and cfg.numshifts == 8 and stats_dtype_ok_v2:
+        # feature-leading layout pipeline (ops/scan_v2.py): emissions
+        # recomputed in VMEM, batch on the lane axis, zero-copy stats
+        from .ops.scan_v2 import chromosome_scan_v2
+        return chromosome_scan_v2(fb, dists, cfg, params,
+                                  interpret=jax.default_backend() == "cpu")
     blocks = build_blocks(fb, cfg, dtype=fb.ms.dtype)
     e = assemble_e_all(blocks, cfg)
     fbres = forward_backward(e, dists, cfg, params)

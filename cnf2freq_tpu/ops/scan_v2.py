@@ -1,0 +1,428 @@
+"""Feature-leading chromosome scan (the zero-marshalling hot path).
+
+The standard path materialises the factored emission blocks (2 x 393 MB
+at B=1000, M=192), assembles E from them, scans in [B, M, NS, S] layout
+(whose (8, 64) minor dims pad to (8, 128) vregs — 2x physical HBM), and
+transposes three sweep tensors into (b, m)-tile layout for the fused
+stats kernel.  Those copies and padding, not arithmetic, dominate the
+iteration (bench/trace_scan.py).
+
+This module replaces the data layout end to end:
+
+    slot tensors [7, ..., M, R]   (R = batch padded to 8*128 tiles)
+      | emission_tiles (Pallas): blocks recomputed in VMEM from ~50
+      |   scalars per (b, m) — nothing bigger than E ever exists
+      v
+    e  [M, X=512, R]              (feature-leading, batch on lanes)
+      | fb_scan_v2 (lax.scan): carry [X, R]; transition = batched
+      |   [64, 64] @ [64, R] MXU matmuls; zero layout padding
+      v
+    fw_pre/bw [M, X, R], factors [M, NS, R]
+      | stats kernel reads (m, b-tile) blocks straight out of the scan
+      |   outputs via BlockSpec index maps — no transposes at all
+      v
+    b12 / infprob accum / pair / turn weights
+
+Same update statistics as engine.chromosome_scan to f32 accumulation
+order (pinned by tests/test_scan_v2.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import MINFACTOR, ModelConfig, RuntimeParams
+from ..hmm.family import FamilyBatch
+from ..hmm.transition import hadamard, interval_recomb, transition_eigenvalues
+from . import stats_pallas as sp
+
+_TS, _TL = 8, 128
+_TN = _TS * _TL
+
+
+# ---------------------------------------------------------------------------
+# Input prep: FamilyBatch -> feature-leading slot tensors
+# ---------------------------------------------------------------------------
+class SlotTensors(NamedTuple):
+    md: jnp.ndarray    # [7, 2, M, nb, TS, TL] int32
+    ms: jnp.ndarray    # [7, 2, M, nb, TS, TL]
+    hw: jnp.ndarray    # [7, M, nb, TS, TL]
+    ex: jnp.ndarray    # [7, nb, TS, TL] int32
+    at: jnp.ndarray    # [7, nb, TS, TL] int32
+    f2: jnp.ndarray    # [nb, TS, TL] int32
+    sh: jnp.ndarray    # [nb, TS, TL] int32
+
+    @property
+    def nb(self) -> int:
+        return self.f2.shape[0]
+
+
+def prep_slots(fb: FamilyBatch, dtype) -> SlotTensors:
+    B, _, M, _ = fb.md.shape
+    nb = -(-B // _TN)
+    R = nb * _TN
+
+    def padb(x):  # pad batch axis 0 to R
+        pad = [(0, R - B)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad)
+
+    md = jnp.transpose(padb(fb.md), (1, 3, 2, 0))          # [7, 2, M, R]
+    ms = jnp.transpose(padb(fb.ms.astype(dtype)), (1, 3, 2, 0))
+    hw = jnp.transpose(padb(fb.hw.astype(dtype)), (1, 2, 0))   # [7, M, R]
+    ex = padb(fb.exists.astype(jnp.int32)).T               # [7, R]
+    at = padb(fb.attop.astype(jnp.int32)).T
+    f2 = padb(fb.flag2ignore)
+    sh = padb(fb.shiftignore)
+    t = (nb, _TS, _TL)
+    return SlotTensors(
+        md=md.reshape((7, 2, M) + t), ms=ms.reshape((7, 2, M) + t),
+        hw=hw.reshape((7, M) + t), ex=ex.reshape((7,) + t),
+        at=at.reshape((7,) + t), f2=f2.reshape(t), sh=sh.reshape(t))
+
+
+# ---------------------------------------------------------------------------
+# Emission kernel: e[m, X, tile] from slot data
+# ---------------------------------------------------------------------------
+def _e_tile(md, ms, hw, exists, attop, f2ig, cfg: ModelConfig, dtype):
+    """E [2(s2), 2(s1), 2(s0), 8(fp1), 8(fp0)] + T for one (m, b-tile):
+    assemble_e_all semantics on in-VMEM blocks."""
+    def slotL(s):
+        return sp.SlotL(md=md[s], ms=ms[s], hw=hw[s], exists=exists[s],
+                        attop=attop[s])
+
+    focal = slotL(0)
+    par = [slotL(cfg.parent_slot(k)) for k in range(2)]
+    gps = [[slotL(cfg.grandparent_slot(k, j)) for j in range(2)]
+           for k in range(2)]
+    hap = cfg.haplotyping
+    froot, vA, svA, vB, svB = sp.root_block_L(focal, haplotyping=hap,
+                                              dtype=dtype)
+    pbs = []
+    for k in range(2):
+        vk, svk = (vA, svA) if k == 0 else (vB, svB)
+        pb = sp.parent_block_L(par[k], gps[k][0], gps[k][1], vk, svk,
+                               haplotyping=hap)      # [r, f, p, sk, *T]
+        bits = (f2ig >> (1 + 3 * k)) & 7
+        V = jnp.stack([((bits & p) == 0).astype(dtype) for p in range(8)],
+                      axis=0)
+        pbs.append((pb * V[None, None, :, None]).sum(axis=2))  # [r,f,sk,*T]
+
+    T = md.shape[2:]
+    # e[v,u,t,b,a] = sum_r froot[r,t] * pbs0[r,a,u] * pbs1[r,b,v]
+    # (python-level stack, not .at[].set: Mosaic cannot lower scatter)
+    planes = []
+    for v in range(2):
+        for u in range(2):
+            for t in range(2):
+                acc = jnp.zeros((8, 8) + T, dtype=dtype)
+                for r in range(2):
+                    acc = acc + (froot[r, t] * pbs[0][r][:, u])[None, :] * \
+                        pbs[1][r][:, v][:, None]
+                planes.append(acc)
+    e = jnp.stack(planes, axis=0).reshape((2, 2, 2, 8, 8) + T)
+    # focal attop: E is the root term alone, constant over states and the
+    # upper shift bits (assemble_e_all tops path)
+    tops = froot.sum(axis=0)                          # [t(2), *T]
+    tops_e = jnp.broadcast_to(tops[None, None, :, None, None],
+                              (2, 2, 2, 8, 8) + T)
+    return jnp.where(focal.attop, tops_e, e)
+
+
+def _e_kernel(md_ref, ms_ref, hw_ref, ex_ref, at_ref, f2_ref,
+              e_ref, *, cfg: ModelConfig):
+    T = (_TS, _TL)
+    dtype = e_ref.dtype
+    md = md_ref[:].reshape((7, 2) + T)
+    ms = ms_ref[:].reshape((7, 2) + T)
+    hw = hw_ref[:].reshape((7,) + T)
+    exists = ex_ref[:].reshape((7,) + T) != 0
+    attop = at_ref[:].reshape((7,) + T) != 0
+    f2ig = f2_ref[:].reshape(T)
+    e = _e_tile(md, ms, hw, exists, attop, f2ig, cfg, dtype)
+    e_ref[:] = e.reshape(e_ref.shape)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("M", "cfg", "dtype", "interpret"))
+def emission_tiles(st: SlotTensors, M: int, cfg: ModelConfig,
+                   dtype=jnp.float32, interpret: bool = False):
+    """e [M, 512, nb, TS, TL]."""
+    nb = st.nb
+    grid = (M, nb)
+
+    def bspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    e = pl.pallas_call(
+        functools.partial(_e_kernel, cfg=cfg),
+        grid=grid,
+        in_specs=[
+            bspec((7, 2, 1, 1, _TS, _TL), lambda m, b: (0, 0, m, b, 0, 0)),
+            bspec((7, 2, 1, 1, _TS, _TL), lambda m, b: (0, 0, m, b, 0, 0)),
+            bspec((7, 1, 1, _TS, _TL), lambda m, b: (0, m, b, 0, 0)),
+            bspec((7, 1, _TS, _TL), lambda m, b: (0, b, 0, 0)),
+            bspec((7, 1, _TS, _TL), lambda m, b: (0, b, 0, 0)),
+            bspec((1, _TS, _TL), lambda m, b: (b, 0, 0)),
+        ],
+        out_specs=bspec((1, 512, 1, _TS, _TL), lambda m, b: (m, 0, b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, 512, nb, _TS, _TL), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(st.md, st.ms, st.hw, st.ex, st.at, st.f2)
+    return e
+
+
+# ---------------------------------------------------------------------------
+# Feature-leading forward-backward scan
+# ---------------------------------------------------------------------------
+class FBv2(NamedTuple):
+    fw_pre: jnp.ndarray    # [M, X, R]
+    fw_post: jnp.ndarray   # [M, X, R]
+    bw: jnp.ndarray        # [M, X, R]
+    fw_pre_f: jnp.ndarray  # [M, NS, R]
+    fw_post_f: jnp.ndarray
+    bw_f: jnp.ndarray
+
+
+def _emit_norm_v2(p, e, logf, NS, S):
+    """p, e: [X, R]; logf [NS, R]."""
+    p = jnp.where(p < 1e-300, 0.0, p)
+    pe = (p * e).reshape(NS, S, -1)
+    s = pe.sum(axis=1, keepdims=True)                 # [NS, 1, R]
+    ok = s > 0
+    pn = jnp.where(ok, pe / jnp.where(ok, s, 1.0), 0.0)
+    logf = jnp.where(ok[:, 0], logf + jnp.log(jnp.where(ok[:, 0], s[:, 0],
+                                                        1.0)), MINFACTOR)
+    return pn.reshape(p.shape), logf
+
+
+def _transition_v2(p, lam_row, H, NS, S):
+    """p [X, R] -> H diag(lam) H p / S per shift block."""
+    ph = jnp.einsum("gh,nhr->ngr", H, p.reshape(NS, S, -1))
+    ph = ph * lam_row[None, :, None]
+    q = jnp.einsum("gh,nhr->ngr", H, ph) / S
+    return q.reshape(p.shape)
+
+
+def fb_scan_v2(e: jnp.ndarray, dists: jnp.ndarray, cfg: ModelConfig,
+               params: RuntimeParams) -> FBv2:
+    """e: [M, X, R] from emission_tiles (tile axes flattened)."""
+    M, X, R = e.shape
+    S, NS = cfg.numtypes, cfg.numshifts
+    dtype = e.dtype
+    r = interval_recomb(cfg, params, dists)
+    lam = transition_eigenvalues(cfg, r).astype(dtype)      # [M-1, S]
+    lam_pad = jnp.concatenate([lam, jnp.ones((1, S), dtype=dtype)], 0)
+    H = jnp.asarray(hadamard(int(S).bit_length() - 1, str(dtype)))
+
+    p0 = jnp.full((X, R), cfg.evengen, dtype=dtype)
+    f0 = jnp.zeros((NS, R), dtype=dtype)
+
+    def fwd_step(carry, xs):
+        p, logf = carry
+        ei, w = xs
+        pre, pre_f = p, logf
+        pn, logf = _emit_norm_v2(p, ei, logf, NS, S)
+        return (_transition_v2(pn, w, H, NS, S), logf), (pre, pre_f, pn,
+                                                         logf)
+
+    _, (fw_pre, fw_pre_f, fw_post, fw_post_f) = jax.lax.scan(
+        fwd_step, (p0, f0), (e, lam_pad), unroll=8)
+
+    ones = jnp.ones((X, R), dtype=dtype)
+
+    def bwd_step(carry, xs):
+        p, logf = carry
+        ei, w = xs
+        pn, logf = _emit_norm_v2(p, ei, logf, NS, S)
+        pprev = _transition_v2(pn, w, H, NS, S)
+        return (pprev, logf), (pprev, logf)
+
+    _, (bw_rest, bw_rest_f) = jax.lax.scan(
+        bwd_step, (ones, f0), (e[1:], lam), unroll=8, reverse=True)
+    bw = jnp.concatenate([bw_rest, ones[None]], axis=0)
+    bw_f = jnp.concatenate([bw_rest_f, f0[None]], axis=0)
+    return FBv2(fw_pre=fw_pre, fw_post=fw_post, bw=bw, fw_pre_f=fw_pre_f,
+                fw_post_f=fw_post_f, bw_f=bw_f)
+
+
+def combined_loglik_v2(fb2: FBv2, sh: jnp.ndarray) -> jnp.ndarray:
+    """total [R] from fw_post_f [M, NS, R]; sh [nb, TS, TL] shiftignore."""
+    NS = fb2.fw_post_f.shape[1]
+    R = fb2.fw_post_f.shape[2]
+    f = fb2.fw_post_f[-1]                                   # [NS, R]
+    allowed = (jnp.arange(NS)[:, None] & sh.reshape(1, R)) == 0
+    f = jnp.where(allowed, f, MINFACTOR)
+    fmax = f.max(axis=0)
+    return fmax + jnp.log(jnp.sum(jnp.where(allowed,
+                                            jnp.exp(f - fmax[None]), 0.0),
+                                  axis=0))
+
+
+def turn_weights_v2(fb2: FBv2, sh: jnp.ndarray, descendants: jnp.ndarray,
+                    cfg: ModelConfig, B: int,
+                    total_desc_scale: bool = True) -> jnp.ndarray:
+    """[B, M, T] clause weights (turn_weights_fast on v2 layout).
+
+    The joint index in the [M, X, R] layout is already shift-major
+    (x = s*S + g), matching the WHT offset flip(t)*S + state_mask(t)."""
+    M, X, R = fb2.fw_post.shape
+    S, NS = cfg.numtypes, cfg.numshifts
+    dtype = fb2.fw_post.dtype
+    allowed = ((jnp.arange(NS)[:, None] & sh.reshape(1, R)) == 0)
+
+    ff = jnp.where(allowed[None], fb2.fw_post_f, -jnp.inf)
+    ffm = ff.max(axis=1)                                    # [M, R]
+    fexp = jnp.where(allowed[None], jnp.exp(ff - ffm[:, None]), 0.0)
+    bf = fb2.bw_f
+    bfm = bf.max(axis=1)
+    bexp = jnp.exp(bf - bfm[:, None])
+
+    fwp = (fb2.fw_post.reshape(M, NS, S, R) * fexp[:, :, None]).reshape(
+        M, X, R)
+    bwp = (fb2.bw.reshape(M, NS, S, R) * bexp[:, :, None]).reshape(M, X, R)
+
+    H = jnp.asarray(hadamard(int(X).bit_length() - 1, str(dtype)))
+    fh = jnp.einsum("jk,mkr->mjr", H, fwp)
+    bh = jnp.einsum("jk,mkr->mjr", H, bwp)
+    D = jnp.einsum("jk,mkr->mjr", H, fh * bh) / X           # [M, X, R]
+
+    idx = np.array([cfg.turn_shift_flip(t) * S + (t & cfg.turn_state_mask)
+                    for t in range(cfg.numturns)])
+    vals = D[:, idx]                                        # [M, T, R]
+    tiny = jnp.asarray(np.finfo(str(dtype)).tiny, dtype=dtype)
+    logv = jnp.log(jnp.maximum(vals, tiny))
+    ok = vals > 0
+    w = jnp.where(ok & ok[:, 0:1], logv - logv[:, 0:1], MINFACTOR)
+    w = jnp.transpose(w[:, :, :B], (2, 0, 1))               # [B, M, T]
+    if total_desc_scale:
+        w = w * descendants[:, None, None]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Stats kernel on v2 tensors (zero-copy via index maps)
+# ---------------------------------------------------------------------------
+def stats_from_v2(st: SlotTensors, fb2: FBv2, total: jnp.ndarray,
+                  M: int, B: int, cfg: ModelConfig, dtype,
+                  interpret: bool = False):
+    """(b12 [B,M,7,2], accum [B,M,7,2,2], pair [B,M,2,2]): the fused
+    stats kernel (ops/stats_pallas._kernel) reading every operand
+    directly from the v2 tensors — tile (i) = (marker i // nb,
+    batch-tile i % nb)."""
+    nb = st.nb
+    nt = M * nb
+    R = nb * _TN
+
+    def bspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    def mb(i):
+        return i // nb, i % nb
+
+    def slot_spec():        # md/ms [7, 2, M, nb, TS, TL]
+        return bspec((7, 2, 1, 1, _TS, _TL),
+                     lambda i: (0, 0) + mb(i) + (0, 0))
+
+    specs = [
+        slot_spec(), slot_spec(),
+        bspec((7, 1, 1, _TS, _TL), lambda i: (0,) + mb(i) + (0, 0)),
+        bspec((7, 1, _TS, _TL), lambda i: (0, i % nb, 0, 0)),
+        bspec((7, 1, _TS, _TL), lambda i: (0, i % nb, 0, 0)),
+        bspec((1, _TS, _TL), lambda i: (i % nb, 0, 0)),
+        bspec((1, _TS, _TL), lambda i: (i % nb, 0, 0)),
+        # fw_pre/bw [M, X, R] viewed as [M, X, nb, TS, TL]
+        bspec((1, 512, 1, _TS, _TL), lambda i: mb(i)[:1] + (0, mb(i)[1],
+                                                            0, 0)),
+        bspec((1, 512, 1, _TS, _TL), lambda i: mb(i)[:1] + (0, mb(i)[1],
+                                                            0, 0)),
+        bspec((1, 8, 1, _TS, _TL), lambda i: mb(i)[:1] + (0, mb(i)[1],
+                                                          0, 0)),
+        bspec((1, 8, 1, _TS, _TL), lambda i: mb(i)[:1] + (0, mb(i)[1],
+                                                          0, 0)),
+        bspec((1, _TS, _TL), lambda i: (i % nb, 0, 0)),
+    ]
+
+    def out_spec(lead):
+        return bspec((lead, 1, _TS, _TL), lambda i: (0, i, 0, 0))
+
+    t5 = (nb, _TS, _TL)
+    b12t, acct, pairt = pl.pallas_call(
+        functools.partial(sp._kernel, cfg=cfg),
+        grid=(nt,),
+        in_specs=specs,
+        out_specs=(out_spec(14), out_spec(28), out_spec(4)),
+        out_shape=(
+            jax.ShapeDtypeStruct((14, nt, _TS, _TL), dtype),
+            jax.ShapeDtypeStruct((28, nt, _TS, _TL), dtype),
+            jax.ShapeDtypeStruct((4, nt, _TS, _TL), dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(st.md, st.ms, st.hw, st.ex, st.at, st.f2, st.sh,
+      fb2.fw_pre.reshape((M, 512) + t5), fb2.bw.reshape((M, 512) + t5),
+      fb2.fw_pre_f.reshape((M, 8) + t5), fb2.bw_f.reshape((M, 8) + t5),
+      jnp.broadcast_to(total.reshape(t5), t5))
+
+    def back(x, shape):
+        lead = x.shape[0]
+        x = x.reshape((lead, M, R))[:, :, :B]     # n = m*R + b (m-major)
+        nl = len(shape)
+        x = x.reshape(shape + (M, B))
+        return jnp.transpose(x, (nl + 1, nl) + tuple(range(nl)))
+
+    return back(b12t, (7, 2)), back(acct, (7, 2, 2)), back(pairt, (2, 2))
+
+
+# ---------------------------------------------------------------------------
+# Full per-iteration scan in v2 layout
+# ---------------------------------------------------------------------------
+def chromosome_scan_v2(fb: FamilyBatch, dists: jnp.ndarray,
+                       cfg: ModelConfig, params: RuntimeParams,
+                       interpret: bool = False):
+    """engine.chromosome_scan on the feature-leading pipeline.
+
+    Returns an engine.ScanResult; the fw/bw sweep tensors are converted
+    back to the standard [B, M, NS, S] layout for the follow-up passes
+    (coherence, map re-estimation) — when a caller's jit doesn't use
+    them, XLA dead-code-eliminates the transposes."""
+    from ..engine import ScanResult
+    from ..hmm.probes import haplo_update_mask
+
+    dtype = fb.ms.dtype
+    B, _, M, _ = fb.md.shape
+    S, NS = cfg.numtypes, cfg.numshifts
+    st = prep_slots(fb, dtype)
+    R = st.nb * _TN
+    e = emission_tiles(st, M, cfg, dtype=dtype, interpret=interpret)
+    fb2 = fb_scan_v2(e.reshape(M, NS * S, R), dists, cfg, params)
+    total_r = combined_loglik_v2(fb2, st.sh)
+    b12, accum, pair = stats_from_v2(st, fb2, total_r, M, B, cfg, dtype,
+                                     interpret=interpret)
+    turn_w = turn_weights_v2(fb2, st.sh, fb.descendants.astype(dtype),
+                             cfg, B)
+    hmask = haplo_update_mask(fb, cfg)
+
+    def to_std(x):      # [M, X, R] -> [B, M, NS, S]
+        return jnp.transpose(x[:, :, :B], (2, 0, 1)).reshape(B, M, NS, S)
+
+    def to_std_f(x):    # [M, NS, R] -> [B, M, NS]
+        return jnp.transpose(x[:, :, :B], (2, 0, 1))
+
+    coh = jnp.full((B, M, cfg.numslots), 0.5, dtype=dtype)
+    return ScanResult(total=total_r[:B], haplo_b12=b12, haplo_mask=hmask,
+                      inf_accum=accum, pair=pair, turn_weight=turn_w,
+                      coherence=coh, fw_pre=to_std(fb2.fw_pre),
+                      bw=to_std(fb2.bw), fw_pre_f=to_std_f(fb2.fw_pre_f),
+                      bw_f=to_std_f(fb2.bw_f))
