@@ -26,12 +26,10 @@ from .hmm.forward_backward import combined_loglik, forward_backward
 from .hmm.probes import (haplo_stats, infprob_stats, posterior_weight,
                          turn_scores)
 from .pedigree import Pedigree
-from .updates import (relskew_ratio, update_haploweights, update_infprobs)
+from .updates import relskew_ratio
 from .updates.phaseflip import (FlipCandidate, apply_flips,
                                 extract_candidates, family_variables,
-                                pattern_scores, select_winner, solve_marker,
-                                FamilyClauses, WEIGHT_CLAMP_HI,
-                                WEIGHT_CLAMP_LO)
+                                select_winner)
 
 _MOVEHAPLO_TINY = math.exp(-400) * 5e-6 * 5e-6 * 0.5  # cnF2freq.cpp:3605
 
@@ -89,6 +87,31 @@ class Driver:
             self._scan_cache[key] = (
                 make_jitted_scan(self.cfg, self.params),
                 make_jitted_coherence(self.cfg, self.params))
+        return self._scan_cache[key]
+
+    def _jitted_scan_merged(self, num_individuals: int):
+        key = ("scan_merged", self.dtype, num_individuals)
+        if key not in self._scan_cache:
+            from .engine import (make_jitted_coherence,
+                                 make_jitted_scan_merged)
+            self._scan_cache[key] = (
+                make_jitted_scan_merged(self.cfg, self.params,
+                                        num_individuals),
+                make_jitted_coherence(self.cfg, self.params))
+        return self._scan_cache[key]
+
+    def _jitted_updates(self):
+        key = ("param_updates",)
+        if key not in self._scan_cache:
+            from .updates.parameter_updates import make_jitted_updates
+            self._scan_cache[key] = make_jitted_updates(self.params)
+        return self._scan_cache[key]
+
+    def _jitted_relskew(self):
+        key = ("relskew_ratio",)
+        if key not in self._scan_cache:
+            import jax
+            self._scan_cache[key] = jax.jit(relskew_ratio)
         return self._scan_cache[key]
 
     # ------------------------------------------------------------------
@@ -354,11 +377,16 @@ class Driver:
         coh_den = np.zeros((NI, M))
         winners: List[Optional[FlipCandidate]] = []
 
+        lut = np.full(max(ids) + 1, NI, dtype=np.int32)
+        for n, i in ind_index.items():
+            lut[n] = i
+        lutj = jnp.asarray(lut)
+
         for c in range(ped.num_chromosomes):
             lo, hi = ped.chromosome_range(c)
             for n in dous:
                 ped.by_id(n).lastinved[c] = -1
-            scan_fn, coh_fn = self._jitted_scan()
+            scan_fn, coh_fn = self._jitted_scan_merged(NI)
             dists = np.diff(ped.markerposes[lo:hi]).astype(self.dtype)
             dj = jnp.asarray(dists)
 
@@ -376,38 +404,52 @@ class Driver:
                         fbatch = pad_batch(fbatch, bs)
                     fbj = fbatch.map(jnp.asarray)
                 with self.tracer.span("scan"):
-                    res = scan_fn(fbj, dj)
+                    res, hb_p, hc_p, inf_p = scan_fn(fbj, dj, lutj)
+                    # tiny readback as the sync point: attributes device
+                    # time here rather than to the first big transfer
+                    _ = np.asarray(res.total)
                 nb = len(chunk)
-                self._store_pair_tables(chunk, lo,
-                                        np.asarray(res.pair)[:nb])
-                self._scatter_haplos(chunk, lo,
-                                     np.asarray(res.haplo_b12)[:nb],
-                                     np.asarray(res.haplo_mask)[:nb],
-                                     haplobase, haplocount, ind_index)
-                self._scatter_infprobs(chunk, lo,
-                                       np.asarray(res.inf_accum)[:nb],
-                                       infacc, ind_index)
+                with self.tracer.span("scatter"):
+                    sb = fbatch.slot_ind[:nb]
+                    desc = fbatch.descendants[:nb].astype(np.float64)
+                    self._store_pair_tables(chunk, lo,
+                                            np.asarray(res.pair)[:nb])
+                    # accumulators were merged on device (segment-sum per
+                    # individual row, engine.make_jitted_scan_merged);
+                    # only [NI, M]-shaped partials cross the host link
+                    haplobase[:, lo:hi] += np.asarray(hb_p,
+                                                      dtype=np.float64)
+                    haplocount[:, lo:hi] += np.asarray(hc_p,
+                                                       dtype=np.float64)
+                    infacc[:, lo:hi] += np.asarray(inf_p,
+                                                   dtype=np.float64)
                 if self.remap_distances:
                     self._update_genetic_map(lo, hi, fbj, dj, res)
                 if self.adaptive_relhaplo and self.cfg.relskews:
-                    coh = np.stack([
-                        np.asarray(coh_fn(fbj, dj, res.fw_pre, res.bw,
-                                          res.fw_pre_f, res.bw_f, slot))
-                        for slot in range(self.cfg.numslots)], axis=-1)
-                    self._scatter_coherence(chunk, lo, coh[:nb],
-                                            ind_index, coh_num, coh_den)
+                    with self.tracer.span("coherence"):
+                        from .updates.scatter import scatter_coherence
+                        coh = np.stack([
+                            np.asarray(coh_fn(fbj, dj, res.fw_pre, res.bw,
+                                              res.fw_pre_f, res.bw_f, slot))
+                            for slot in range(self.cfg.numslots)], axis=-1)
+                        scatter_coherence(sb, desc, lo, coh[:nb],
+                                          coh_num, coh_den, ind_index)
                 if not early:
-                    weight_parts.append(np.array(res.turn_weight)[:nb])
+                    # native mode keeps the [nb, M, T] chunks ON DEVICE:
+                    # the flip scorer consumes them there and only [B, k]
+                    # top-marker slices cross the host link
+                    weight_parts.append(res.turn_weight[:nb])
 
             if not early:
                 with self.tracer.span("flips"):
-                    weights = np.concatenate(weight_parts, axis=0)
                     if self.flip_mode == "negshift":
                         # legacy DOTOULBAR=0 path: unscale the descendant
                         # factor baked into turn weights, then
                         # single-member negshift inversion
                         # (updates/negshift.py)
                         from .updates.negshift import negshift_flips
+                        weights = np.concatenate(
+                            [np.asarray(p) for p in weight_parts], axis=0)
                         desc = np.array(
                             [max(ped.by_id(n).descendants, 1)
                              for n in dous], dtype=float)
@@ -415,11 +457,10 @@ class Driver:
                             ped, dous, lo, hi,
                             weights / desc[:, None, None], cfg)
                     else:
-                        weights = self._apply_skewterms(
-                            dous, lo, hi, weights, haplobase, haplocount,
-                            ind_index)
-                        winner = self._optimise_flips(dous, lo, hi,
-                                                      weights, c)
+                        with self.tracer.span("optimise"):
+                            winner = self._optimise_flips(
+                                dous, lo, hi, weight_parts, haplobase,
+                                haplocount, ind_index, c)
                     winners.append(winner)
                     if winner is not None:
                         apply_flips(ped, winner, c, haplobase, haplocount,
@@ -440,9 +481,11 @@ class Driver:
         sf = 0.0 if any_inv else st.scalefactor
         hits = 0
         with self.tracer.span("updates"):
-            hits += self._process_infprobs(ids, infacc, sf)
-            hits += self._update_haploweights(ids, haplobase, haplocount,
-                                              sf)
+            with self.tracer.span("infprobs"):
+                hits += self._process_infprobs(ids, infacc, sf)
+            with self.tracer.span("haploweights"):
+                hits += self._update_haploweights(ids, haplobase,
+                                                  haplocount, sf)
         self._adapt_scalefactor(any_inv, hits, len(dous))
         self.tracer.metric(event="iteration", iter=st.iter, hitnnn=hits,
                            inverted=any_inv,
@@ -454,61 +497,14 @@ class Driver:
                     scalefactor=st.scalefactor)
 
     # -- scatter helpers ------------------------------------------------
-    def _unique_members(self, n: int):
-        slots = self.ped.family_slots(n)
-        members: Dict[int, List[int]] = {}
-        for slot, sid in enumerate(slots):
-            if sid:
-                members.setdefault(sid, []).append(slot)
-        return members
-
     def _store_pair_tables(self, dous, lo, pair):
         for b, n in enumerate(dous):
             tab = self.pair_tables.setdefault(
                 n, np.zeros((self.ped.num_markers, 2, 2)))
             tab[lo:lo + pair.shape[1]] = pair[b]
 
-    def _scatter_haplos(self, dous, lo, b12, mask, haplobase, haplocount,
-                        ind_index):
-        """movehaplos (cnF2freq.cpp:3599-3616): per unique family member,
-        fold the slot-summed b1/b2 ratio into the shared accumulators."""
-        ped = self.ped
-        for b, n in enumerate(dous):
-            desc = ped.by_id(n).descendants
-            for sid, slots in self._unique_members(n).items():
-                i = ind_index[sid]
-                tot = np.zeros((b12.shape[1], 2))
-                used = np.zeros(b12.shape[1], dtype=bool)
-                for s in slots:
-                    tot += np.where(mask[b, :, s, None], b12[b, :, s], 0.0)
-                    used |= mask[b, :, s] & (b12[b, :, s].sum(axis=-1) > 0)
-                hw = ped.by_id(sid).haploweight[lo:lo + b12.shape[1]]
-                unlocked = np.abs(hw - 0.5) < 0.5 - 1e-12
-                take = used & unlocked
-                b1 = tot[:, 0] + _MOVEHAPLO_TINY
-                b2 = tot[:, 1] + _MOVEHAPLO_TINY
-                sl = slice(lo, lo + b12.shape[1])
-                haplobase[i, sl] += np.where(take, b1 / (b1 + b2) * desc,
-                                             0.0)
-                haplocount[i, sl] += np.where(take, desc, 0.0)
-
-    def _scatter_infprobs(self, dous, lo, accum, infacc, ind_index):
-        """moveinfprobs (cnF2freq.cpp:3577-3597): normalise by the focal's
-        slot-0 mass and fold into shared accumulators with duplicate
-        damping and descendant scaling."""
-        ped = self.ped
-        for b, n in enumerate(dous):
-            desc = ped.by_id(n).descendants
-            fsum = accum[b, :, 0, 0, :].sum(axis=-1)    # [M]
-            inv = np.where(fsum > 0, 1.0 / np.where(fsum > 0, fsum, 1.0),
-                           0.0)
-            for sid, slots in self._unique_members(n).items():
-                i = ind_index[sid]
-                tot = accum[b, :, slots].sum(axis=0) if len(slots) > 1 \
-                    else accum[b, :, slots[0]]
-                norm = 2.0 / (2 ** len(slots)) * desc
-                sl = slice(lo, lo + accum.shape[1])
-                infacc[i, sl] += tot * inv[:, None, None] * norm
+    # (movehaplos/moveinfprobs scatter live in updates/scatter.py as
+    # batched numpy; loop-form parity pinned by tests/test_scatter.py)
 
     def _update_genetic_map(self, lo, hi, fbj, dj, res):
         """EM update of per-sex per-interval recombination rates from the
@@ -541,129 +537,141 @@ class Driver:
         # the jitted scan is the remaining step (kept out while the scan
         # signature is stable for the bench)
 
-    def _scatter_coherence(self, dous, lo, coh, ind_index, coh_num,
-                           coh_den):
-        """Accumulate measured adjacent-phase coherence per individual,
-        weighted by the focal's descendants; written into relhaplo after
-        the full cohort has streamed through."""
+    def _flip_static(self, dous, chrom):
+        """Marker-independent flip-problem structure, cached per
+        chromosome: per-family variable lists, turn->pattern index maps,
+        allowed-turn masks, and the connected components of the
+        family/variable graph with component-local position arrays."""
+        key = ("flip_static", chrom, len(dous), dous[0], dous[-1])
+        if key in self._scan_cache:
+            return self._scan_cache[key]
         ped = self.ped
-        M = coh.shape[1]
-        sl = slice(lo, lo + M)
-        for b, n in enumerate(dous):
-            desc = ped.by_id(n).descendants
-            for sid, slots in self._unique_members(n).items():
-                i = ind_index[sid]
-                for s in slots:
-                    coh_num[i, sl] += desc * coh[b, :, s]
-                    coh_den[i, sl] += desc
-
-    def _apply_skewterms(self, dous, lo, hi, weights, haplobase, haplocount,
-                         ind_index):
-        """Relative-skew clause adjustment (calcskewterms + weight update,
-        cnF2freq.cpp:4469-4531, 5929-5959): subtract the focal's skew term
-        from every turn flipping the focal.  Vectorized over markers."""
-        if not self.cfg.relskews:
-            return weights
-        ped = self.ped
-        focal_bit = 1 << (self.cfg.turnbits - 1)
-        tsel = (np.arange(self.cfg.numturns) & focal_bit) > 0
-        Mi = hi - lo - 1
-
-        def slog(x):
-            return np.log(np.maximum(x, 1e-323))
-
-        for b, n in enumerate(dous):
-            ind = ped.by_id(n)
-            i = ind_index[n]
-            hw = ind.haploweight[lo:hi]
-            rh = ind.relhaplo[lo:hi][:Mi]
-            hb = haplobase[i, lo:hi]
-            hc = haplocount[i, lo:hi]
-            desc = ind.descendants
-            skew = np.zeros(Mi)
-            for ix in range(2):
-                w_ = hw[1 - ix:Mi + 1 - ix]
-                wo = hw[ix:Mi + ix]
-                lrh, l1rh = slog(rh), slog(1 - rh)
-                lw, l1w = slog(w_), slog(1 - w_)
-                lo_, l1o = slog(wo), slog(1 - wo)
-                val = wo
-                now = (w_ * val * (lrh + lw + lo_) +
-                       (1 - w_) * (1 - val) * (lrh + l1w + l1o) +
-                       w_ * (1 - val) * (l1rh + lw + l1o) +
-                       (1 - w_) * val * (l1rh + l1w + lo_))
-                then = ((1 - w_) * val * (lrh + l1w + lo_) +
-                        w_ * (1 - val) * (lrh + lw + l1o) +
-                        (1 - w_) * (1 - val) * (l1rh + l1w + l1o) +
-                        w_ * val * (l1rh + lw + lo_))
-                skew -= then - now
-                hcx = hc[ix:Mi + ix]
-                hbx = hb[ix:Mi + ix]
-                gonext = np.where(hcx > 0, hbx / np.maximum(hcx, 1e-300),
-                                  0.0)
-                skew += np.where((hcx > 0) &
-                                 ((gonext - w_) * (w_ - 0.5) < 0),
-                                 25000.0, 0.0)
-            w = skew * 0.5
-            w = np.where(np.isfinite(w), w, np.sign(w) * 25000.0)
-            w = np.clip(w, -25000.0, 25000.0)
-            weights[b, :Mi, :][:, tsel] -= (w * desc)[:, None]
-        return weights
-
-    # -- flip optimisation ----------------------------------------------
-    def _optimise_flips(self, dous, lo, hi, weights, chrom
-                        ) -> Optional[FlipCandidate]:
-        ped = self.ped
-        fams_static = []
+        T = self.cfg.numturns
+        B = len(dous)
+        t_ = np.arange(T)
+        pat = np.zeros((B, T), dtype=np.int32)
+        allowed = np.zeros((B, T), dtype=bool)
+        varlists: List[List[int]] = [None] * B
         for b, n in enumerate(dous):
             members, exists = family_variables(ped, n)
-            f2i = ped.missing_flag2_mask(n)
-            allowed = np.array([t for t in range(self.cfg.numturns)
-                                if not (t & (f2i >> 1))])
-            w = np.clip(np.nan_to_num(weights[b, :, :],
-                                      nan=WEIGHT_CLAMP_LO,
-                                      posinf=WEIGHT_CLAMP_HI,
-                                      neginf=WEIGHT_CLAMP_LO),
-                        WEIGHT_CLAMP_LO, WEIGHT_CLAMP_HI)
-            fc = FamilyClauses(focal=n, members=members, exists=exists,
-                               turn_allowed=allowed, weights=w)
-            S, _, varlist = pattern_scores(fc)
-            fams_static.append((varlist, S))
+            f2i = int(ped.missing_flag2_mask(n))
+            varbits = [bit for bit in range(7) if exists[bit]]
+            p = np.zeros(T, dtype=np.int32)
+            for i, bit in enumerate(varbits):
+                p |= ((t_ >> bit) & 1) << i
+            pat[b] = p
+            allowed[b] = (t_ & (f2i >> 1)) == 0
+            varlists[b] = [members[bit] for bit in varbits]
 
-        # vectorized quick skip: only markers where some family shows a
-        # positive-gain pattern get a joint solve, and within such a
-        # marker only the gainful families' components are solved
-        # (the reference's fakegain pre-check, cnF2freq.cpp:5996-6021)
-        gains = np.stack([np.nanmax(S, axis=1) - S[:, 0]
-                          for _, S in fams_static])          # [B, M]
-        marker_gain = np.where(gains > 1e-12, gains, 0.0).sum(axis=0)
-        hot_markers = np.where(marker_gain > 1e-12)[0]
-        # only one combined winner is applied per chromosome per
-        # iteration: solving the top-gain markers suffices and bounds the
-        # host solver cost on large cohorts
-        if hot_markers.size > self.max_flip_markers:
-            top = np.argsort(marker_gain[hot_markers])
-            hot_markers = hot_markers[top[-self.max_flip_markers:]]
+        from .updates.phaseflip import _components
+        comps = _components([(vl, None) for vl in varlists])
+        comp_of_fam = np.zeros(B, dtype=np.int64)
+        comp_struct = []
+        for ci, comp in enumerate(comps):
+            vset = sorted({v for fi in comp for v in varlists[fi]})
+            vidx = {v: i for i, v in enumerate(vset)}
+            pos = [np.array([vidx[v] for v in varlists[fi]])
+                   for fi in comp]
+            comp_struct.append((comp, vidx, pos, len(vset)))
+            for fi in comp:
+                comp_of_fam[fi] = ci
+        out = (varlists, pat, allowed, comp_struct, comp_of_fam)
+        self._scan_cache[key] = out
+        return out
+
+    def _jitted_flip_scorer(self):
+        key = ("flip_scorer",)
+        if key not in self._scan_cache:
+            from .updates.phaseflip import make_flip_scorer
+            self._scan_cache[key] = make_flip_scorer()
+        return self._scan_cache[key]
+
+    # -- flip optimisation ----------------------------------------------
+    def _optimise_flips(self, dous, lo, hi, weight_parts, haplobase,
+                        haplocount, ind_index, chrom
+                        ) -> Optional[FlipCandidate]:
+        """Native phase-flip optimisation (the DOTOULBAR=1 replacement).
+
+        Scoring runs on device (phaseflip.make_flip_scorer): clamp,
+        relskew clause adjustment, per-family pattern sums over the turn
+        axis, and top-k marker selection; only the [B, k] winners cross
+        the host link.  Per hot marker, every connected component of the
+        family/variable graph containing a gainful family is solved in
+        full — the reference solves the complete per-marker WCNF over
+        all families (cnF2freq.cpp:5978-6084)."""
+        import jax.numpy as jnp
+        ped = self.ped
+        B = len(dous)
+        M = hi - lo
+        varlists, pat, allowed, comp_struct, comp_of_fam = \
+            self._flip_static(dous, chrom)
+
+        with_skew = bool(self.cfg.relskews)
+        dt = weight_parts[0].dtype
+        if with_skew:
+            hw = np.stack([ped.by_id(n).haploweight[lo:hi] for n in dous])
+            rh = np.stack([ped.by_id(n).relhaplo[lo:hi] for n in dous])
+            rows = np.array([ind_index[n] for n in dous])
+            hb = haplobase[rows][:, lo:hi]
+            hc = haplocount[rows][:, lo:hi]
+        else:
+            hw = rh = hb = hc = np.zeros((B, M))
+        desc = np.array([ped.by_id(n).descendants for n in dous],
+                        dtype=np.float64)
+        focal_bit = 1 << (self.cfg.turnbits - 1)
+        tsel = (np.arange(self.cfg.numturns) & focal_bit) > 0
+        k = min(self.max_flip_markers, M)
+
+        with self.tracer.span("score"):
+            idx, mg, gains, S_top = self._jitted_flip_scorer()(
+                tuple(weight_parts), jnp.asarray(pat), jnp.asarray(allowed),
+                jnp.asarray(hw.astype(dt)), jnp.asarray(rh.astype(dt)),
+                jnp.asarray(hb.astype(dt)), jnp.asarray(hc.astype(dt)),
+                jnp.asarray(desc.astype(dt)), jnp.asarray(tsel),
+                k=k, with_skew=with_skew)
+            idx = np.asarray(idx)
+            mg = np.asarray(mg)
+            gains = np.asarray(gains, dtype=np.float64)   # [B, k]
+            S_top = np.asarray(S_top, dtype=np.float64)   # [B, k, P]
+
+        from .native import load_flipsolve
+        from .updates.phaseflip import solve_component
+        lib = load_flipsolve()
+        plen = [1 << len(vl) for vl in varlists]
 
         cands: List[FlipCandidate] = []
-        for m in hot_markers:
-            hot = np.where(gains[:, m] > 1e-12)[0]
-            hotvars = {v for b in hot for v in fams_static[b][0]}
-            fams = [(varlist, S[m]) for varlist, S in fams_static
-                    if hotvars & set(varlist)]
-            assign = solve_marker(fams)
-            if not assign:
-                continue
-            cands.extend(extract_candidates(fams, assign, lo + m))
+        with self.tracer.span("solve"):
+            for j in range(len(idx)):
+                if mg[j] <= 1e-12:
+                    continue
+                m = int(idx[j])
+                hot_comps = sorted(set(
+                    comp_of_fam[np.where(gains[:, j] > 1e-12)[0]]))
+                assign = {}
+                fams_m = []
+                for ci in hot_comps:
+                    comp, vidx, pos, n = comp_struct[ci]
+                    fam_masks = [(pos[jj], S_top[fi, j, :plen[fi]])
+                                 for jj, fi in enumerate(comp)]
+                    vec = solve_component(fam_masks, n, lib=lib)
+                    for v, i in vidx.items():
+                        if vec[i]:
+                            assign[v] = True
+                    fams_m.extend((varlists[fi], S_top[fi, j, :plen[fi]])
+                                  for fi in comp)
+                if not assign:
+                    continue
+                cands.extend(extract_candidates(fams_m, assign, lo + m))
         # a flip of an all-0.5 tail is the identity on every parameter:
         # applying it would only trip the inversion freeze (scalefactor=0,
         # cnF2freq.cpp:6341-6342) without changing state — drop such flips
-        for c_ in cands:
-            c_.flips = [
-                (n, m) for n, m in c_.flips
-                if np.abs(ped.by_id(n).haploweight[m + 1:hi] - 0.5).max(
-                    initial=0.0) > 1e-9]
-        cands = [c_ for c_ in cands if c_.flips]
+        with self.tracer.span("filter"):
+            for c_ in cands:
+                c_.flips = [
+                    (n, m) for n, m in c_.flips
+                    if np.abs(ped.by_id(n).haploweight[m + 1:hi] - 0.5).max(
+                        initial=0.0) > 1e-9]
+            cands = [c_ for c_ in cands if c_.flips]
         return select_winner(cands)
 
     # -- parameter updates ----------------------------------------------
@@ -684,11 +692,11 @@ class Driver:
         has_prior = np.array([ped.by_id(n).has_prior for n in ids])
         children = np.array([ped.by_id(n).children for n in ids])
 
-        res = update_infprobs(jnp.asarray(infacc), jnp.asarray(md),
-                              jnp.asarray(msu), jnp.asarray(prior),
-                              jnp.asarray(priorsure),
-                              jnp.asarray(has_prior), jnp.asarray(children),
-                              self.params, scalefactor)
+        _, ui = self._jitted_updates()
+        res = ui(jnp.asarray(infacc), jnp.asarray(md),
+                 jnp.asarray(msu), jnp.asarray(prior),
+                 jnp.asarray(priorsure), jnp.asarray(has_prior),
+                 jnp.asarray(children), jnp.asarray(float(scalefactor)))
         newp = np.asarray(res.newprob)
         live = infacc > 0
         for i, n in enumerate(ids):
@@ -734,8 +742,8 @@ class Driver:
             for c in range(ped.num_chromosomes):
                 lo, hi = ped.chromosome_range(c)
                 relterm[:, lo:hi] = np.asarray(
-                    relskew_ratio(jnp.asarray(hw[:, lo:hi]),
-                                  jnp.asarray(rh[:, lo:hi])))
+                    self._jitted_relskew()(jnp.asarray(hw[:, lo:hi]),
+                                           jnp.asarray(rh[:, lo:hi])))
         else:
             relterm = np.full_like(hw, 0.5)
 
@@ -747,12 +755,13 @@ class Driver:
                 axis=1, keepdims=True)
         active &= anyinfo
 
-        res = update_haploweights(jnp.asarray(hw), jnp.asarray(haplobase),
-                                  jnp.asarray(haplocount), jnp.asarray(md),
-                                  jnp.asarray(msu), jnp.asarray(relterm),
-                                  jnp.asarray(desc), jnp.asarray(children),
-                                  jnp.asarray(lastinv), jnp.asarray(active),
-                                  self.params, scalefactor)
+        uh, _ = self._jitted_updates()
+        res = uh(jnp.asarray(hw), jnp.asarray(haplobase),
+                 jnp.asarray(haplocount), jnp.asarray(md),
+                 jnp.asarray(msu), jnp.asarray(relterm),
+                 jnp.asarray(desc), jnp.asarray(children),
+                 jnp.asarray(lastinv), jnp.asarray(active),
+                 jnp.asarray(float(scalefactor)))
         newhw = np.asarray(res.haploweight)
         for i, n in enumerate(ids):
             ped.by_id(n).haploweight[:] = newhw[i]

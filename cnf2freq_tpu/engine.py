@@ -144,6 +144,28 @@ def make_jitted_scan(cfg: ModelConfig, params: RuntimeParams,
     return run
 
 
+def make_jitted_scan_merged(cfg: ModelConfig, params: RuntimeParams,
+                            num_individuals: int):
+    """Scan + on-device accumulator merge: the per-family statistics are
+    segment-summed onto per-individual accumulator rows before leaving
+    the device, so [NI, M]-shaped merged tensors cross the host link
+    instead of [B, M, slots, ...] per-family ones (7-25x less transfer;
+    the merge itself replaces the host scatter loops)."""
+    from .parallel.collective import merge_haplos, merge_infprobs
+
+    @jax.jit
+    def run(fb: FamilyBatch, dists, lut):
+        res = chromosome_scan(fb, dists, cfg, params)
+        hb, hc = merge_haplos(res.haplo_b12, res.haplo_mask, fb.hw,
+                              fb.slot_ind, fb.descendants, lut,
+                              num_individuals)
+        inf = merge_infprobs(res.inf_accum, fb.slot_ind, fb.descendants,
+                             lut, num_individuals)
+        return res, hb, hc, inf
+
+    return run
+
+
 def make_jitted_coherence(cfg: ModelConfig, params: RuntimeParams):
     """Per-slot adjacent-phase coherence as its own pass: bounded peak
     memory at large B*M (one slot's chain live at a time)."""

@@ -82,6 +82,10 @@ def _set_flip_sig(lib):
         ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_uint64),
     ]
+    lib.flip_solve_component_v2.restype = ctypes.c_double
+    lib.flip_solve_component_v2.argtypes = \
+        lib.flip_solve_component.argtypes[:-1] + \
+        [ctypes.POINTER(ctypes.c_uint8)]  # out_vec, no 64-var limit
 
 
 def load_genread() -> Optional[ctypes.CDLL]:

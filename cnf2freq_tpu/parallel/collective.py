@@ -39,6 +39,91 @@ def merge_slot_stats(values: jnp.ndarray, slot_ind: jnp.ndarray,
     return out
 
 
+def _dup_masks_j(slot_ind):
+    """slot_ind [B, S] -> (eq [B,S,S], first [B,S]) same-individual and
+    first-occurrence masks (device form of updates/scatter._dup_masks)."""
+    ids = slot_ind
+    occ = ids > 0
+    eq = (ids[:, :, None] == ids[:, None, :]) & occ[:, :, None] \
+        & occ[:, None, :]
+    S = ids.shape[1]
+    tri = jnp.tril(jnp.ones((S, S), dtype=bool), -1)
+    first = occ & ~(eq & tri[None]).any(axis=2)
+    return eq, first
+
+
+def merge_haplos(b12, mask, hw, slot_ind, descendants, lut,
+                 num_individuals: int, axis_name: str = None):
+    """Device-side movehaplos (cnF2freq.cpp:3599-3616): per-family b12
+    statistics [B, M, S, 2] merged onto per-individual accumulators.
+
+    hw: [B, S, M] gathered haploweights; lut: [max_id+1] individual id ->
+    accumulator row (vacant id 0 -> num_individuals, dropped).
+    Returns (haplobase [NI, M], haplocount [NI, M]).  Exact parity with
+    updates/scatter.scatter_haplos pinned by tests/test_scatter.py."""
+    from ..updates.scatter import _MOVEHAPLO_TINY
+    B, M, S = b12.shape[:3]
+    dtype = b12.dtype
+    eq, first = _dup_masks_j(slot_ind)
+    eqf = eq.astype(dtype)
+
+    masked = jnp.where(mask[..., None], b12, 0.0)
+    tot = jnp.einsum("bst,bmtk->bmsk", eqf, masked)
+    used_slot = (mask & (b12.sum(axis=-1) > 0)).astype(dtype)
+    used = jnp.einsum("bst,bmt->bms", eqf, used_slot) > 0
+
+    unlocked = jnp.abs(hw - 0.5) < 0.5 - 1e-12          # [B, S, M]
+    take = used & jnp.transpose(unlocked, (0, 2, 1))
+    b1 = tot[..., 0] + _MOVEHAPLO_TINY
+    b2 = tot[..., 1] + _MOVEHAPLO_TINY
+    den = b1 + b2
+    safe = take & jnp.isfinite(den) & (den > 0)
+    contrib = jnp.where(safe, b1 / jnp.where(safe, den, 1.0), 0.0) * \
+        descendants[:, None, None].astype(dtype)
+    count = jnp.where(safe, 1.0, 0.0) * \
+        descendants[:, None, None].astype(dtype)
+
+    rows = jnp.where(first, lut[slot_ind], num_individuals)  # [B, S]
+    rows_flat = rows.reshape(B * S)
+    cflat = jnp.moveaxis(contrib, 2, 1).reshape(B * S, M)
+    nflat = jnp.moveaxis(count, 2, 1).reshape(B * S, M)
+    hb = jax.ops.segment_sum(cflat, rows_flat,
+                             num_segments=num_individuals + 1)[:-1]
+    hc = jax.ops.segment_sum(nflat, rows_flat,
+                             num_segments=num_individuals + 1)[:-1]
+    if axis_name is not None:
+        hb = jax.lax.psum(hb, axis_name)
+        hc = jax.lax.psum(hc, axis_name)
+    return hb, hc
+
+
+def merge_infprobs(accum, slot_ind, descendants, lut,
+                   num_individuals: int, axis_name: str = None):
+    """Device-side moveinfprobs (cnF2freq.cpp:3577-3597): normalise by
+    the focal's slot-0 mass, fold duplicate slots with 2/2^cnt damping,
+    scale by descendants, segment-sum onto [NI, M, 2, 2]."""
+    B, M, S = accum.shape[:3]
+    dtype = accum.dtype
+    eq, first = _dup_masks_j(slot_ind)
+    eqf = eq.astype(dtype)
+    cnt = eq.sum(axis=2).astype(dtype)                  # [B, S]
+
+    fsum = accum[:, :, 0, 0, :].sum(axis=-1)            # [B, M]
+    inv = jnp.where(fsum > 0, 1.0 / jnp.where(fsum > 0, fsum, 1.0), 0.0)
+    tot = jnp.einsum("bst,bmtjk->bmsjk", eqf, accum)
+    norm = 2.0 / jnp.exp2(cnt) * descendants[:, None].astype(dtype)
+    contrib = tot * inv[:, :, None, None, None] * \
+        norm[:, None, :, None, None]
+
+    rows = jnp.where(first, lut[slot_ind], num_individuals)
+    flat = jnp.moveaxis(contrib, 2, 1).reshape(B * S, M, 2, 2)
+    out = jax.ops.segment_sum(flat, rows.reshape(B * S),
+                              num_segments=num_individuals + 1)[:-1]
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
+
+
 def sharded_scan_and_merge(fb: FamilyBatch, dists, cfg, params, mesh: Mesh,
                            num_individuals: int):
     """One sharded chromosome scan plus on-device accumulator merge: the

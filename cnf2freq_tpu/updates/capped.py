@@ -121,7 +121,12 @@ def cappedgd(gradient: Callable[[jnp.ndarray], jnp.ndarray],
         hi = jnp.where(done, hi, hi2)
         return lo, hi, done
 
-    if float(np.asarray(scalefactor)) != 0.0:
+    # concrete zero scalefactor: skip compiling the loop entirely; under
+    # jit (traced scalefactor) the loop runs but every lane starts done
+    # via the (sf == 0) term of ``dead``, so the result is identical
+    concrete_zero = isinstance(scalefactor, (int, float, np.floating)) \
+        and float(scalefactor) == 0.0
+    if not concrete_zero:
         lo, hi, _ = jax.lax.fori_loop(0, iters, body,
                                       (lo, hi, dead))
     return caplogitchange(0.5 * (lo + hi), orig, epsilon, breakathalf)

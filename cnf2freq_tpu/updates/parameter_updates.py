@@ -153,3 +153,20 @@ def update_infprobs(accum, markerdata, markersure, priordata, priorsure,
     newprob = jnp.where(live, newv, 0.0)
     return InfprobsUpdateResult(newprob=newprob, hits=(hit.reshape(
         accum.shape) & live).sum())
+
+
+def make_jitted_updates(params: RuntimeParams):
+    """jit-compiled update kernels with ``scalefactor`` as a traced
+    argument — one compile per shape, none per scalefactor value (it
+    changes every iteration, cnF2freq.cpp:6373-6392).  Run eagerly these
+    dispatch hundreds of small ops, which dominates on high-latency
+    device links."""
+    import jax
+
+    uh = jax.jit(lambda hw, hb, hc, md, ms, rel, desc, ch, li, act, sf:
+                 update_haploweights(hw, hb, hc, md, ms, rel, desc, ch,
+                                     li, act, params, sf))
+    ui = jax.jit(lambda accum, md, ms, pd, ps, hp, ch, sf:
+                 update_infprobs(accum, md, ms, pd, ps, hp, ch, params,
+                                 sf))
+    return uh, ui

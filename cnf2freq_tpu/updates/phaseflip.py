@@ -97,6 +97,116 @@ def pattern_scores(clauses: FamilyClauses) -> Tuple[np.ndarray, np.ndarray,
     return S, np.arange(P), varlist
 
 
+def pattern_scores_batched(exists: Tuple[bool, ...],
+                           turn_allowed_mask: np.ndarray,
+                           weights: np.ndarray
+                           ) -> Tuple[np.ndarray, List[int]]:
+    """pattern_scores for every family sharing an (exists, turn-mask)
+    configuration at once: one [T, P] one-hot matmul over the stacked
+    clause weights instead of per-family np.add.at loops.
+
+    weights: [Bg, M, T].  Returns (S [Bg, M, P] with unreachable
+    patterns at -inf, varbits)."""
+    varbits = [b for b in range(7) if exists[b]]
+    T = weights.shape[-1]
+    P = 1 << len(varbits)
+    t_ = np.arange(T)
+    pat = np.zeros(T, dtype=np.int64)
+    for i, b in enumerate(varbits):
+        pat |= ((t_ >> b) & 1) << i
+    tmat = np.zeros((T, P), dtype=weights.dtype)
+    tmat[t_[turn_allowed_mask], pat[turn_allowed_mask]] = 1.0
+    S = weights @ tmat
+    reachable = np.zeros(P, dtype=bool)
+    reachable[pat[turn_allowed_mask]] = True
+    return np.where(reachable[None, None, :], S, -np.inf), varbits
+
+
+def make_flip_scorer():
+    """Device-side clause scoring: clamp + relskew adjustment + pattern
+    sums + top-k marker selection in one jitted program, so only [B, k]
+    score slices cross the host link instead of the [B, M, T] turn-weight
+    tensor (the transfer dominated the flips stage on tunneled devices).
+
+    Math parity with the host forms (apply_skewterms in updates/scatter,
+    pattern_scores_batched) is pinned by tests/test_scatter.py."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("k", "with_skew"))
+    def score(parts, pat, allowed, hw, rh, hb, hc, desc, tsel,
+              k: int, with_skew: bool):
+        """parts: tuple of [Bi, M, T] turn-weight chunks; pat [B, T]
+        per-family pattern index of each turn; allowed [B, T];
+        hw/rh/hb/hc [B, Mc] skew inputs (Mc == M); desc [B]; tsel [T].
+        Returns (idx [k] marker indices, mg [k] total gains,
+        gains [B, k], S [B, k, P])."""
+        W = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        dtype = W.dtype
+        W = jnp.clip(jnp.nan_to_num(W, nan=WEIGHT_CLAMP_LO,
+                                    posinf=WEIGHT_CLAMP_HI,
+                                    neginf=WEIGHT_CLAMP_LO),
+                     WEIGHT_CLAMP_LO, WEIGHT_CLAMP_HI)
+        B, M, T = W.shape
+
+        if with_skew:
+            # calcskewterms clause adjustment (cnF2freq.cpp:4469-4531,
+            # 5929-5959); same arithmetic as scatter.apply_skewterms
+            Mi = M - 1
+            tiny = jnp.asarray(1e-323 if dtype == jnp.float64 else 1e-38,
+                               dtype=dtype)
+
+            def slog(x):
+                return jnp.log(jnp.maximum(x, tiny))
+
+            skew = jnp.zeros((B, Mi), dtype=dtype)
+            rhs = rh[:, :Mi]
+            lrh, l1rh = slog(rhs), slog(1 - rhs)
+            for ix in range(2):
+                w_ = hw[:, 1 - ix:Mi + 1 - ix]
+                wo = hw[:, ix:Mi + ix]
+                lw, l1w = slog(w_), slog(1 - w_)
+                lo_, l1o = slog(wo), slog(1 - wo)
+                val = wo
+                now = (w_ * val * (lrh + lw + lo_) +
+                       (1 - w_) * (1 - val) * (lrh + l1w + l1o) +
+                       w_ * (1 - val) * (l1rh + lw + l1o) +
+                       (1 - w_) * val * (l1rh + l1w + lo_))
+                then = ((1 - w_) * val * (lrh + l1w + lo_) +
+                        w_ * (1 - val) * (lrh + lw + l1o) +
+                        (1 - w_) * (1 - val) * (l1rh + l1w + l1o) +
+                        w_ * val * (l1rh + lw + lo_))
+                skew = skew - (then - now)
+                hcx = hc[:, ix:Mi + ix]
+                hbx = hb[:, ix:Mi + ix]
+                gonext = jnp.where(hcx > 0,
+                                   hbx / jnp.maximum(hcx, tiny), 0.0)
+                skew = skew + jnp.where(
+                    (hcx > 0) & ((gonext - w_) * (w_ - 0.5) < 0),
+                    25000.0, 0.0)
+            w = skew * 0.5
+            w = jnp.where(jnp.isfinite(w), w, jnp.sign(w) * 25000.0)
+            w = jnp.clip(w, -25000.0, 25000.0) * desc[:, None]
+            wpad = jnp.concatenate(
+                [w, jnp.zeros((B, M - Mi), dtype=dtype)], axis=1)
+            W = W - wpad[:, :, None] * tsel[None, None, :].astype(dtype)
+
+        onehot = jax.nn.one_hot(pat, T, dtype=dtype) * \
+            allowed[..., None].astype(dtype)                  # [B, T, P]
+        S = jnp.einsum("bmt,btp->bmp", W, onehot)
+        reach = onehot.sum(axis=1) > 0                        # [B, P]
+        neginf = jnp.asarray(-jnp.inf, dtype=dtype)
+        S = jnp.where(reach[:, None, :], S, neginf)
+        gains = S.max(axis=2) - S[:, :, 0]                    # [B, M]
+        mg = jnp.where(gains > 1e-12, gains, 0.0).sum(axis=0)
+        mg_top, idx = jax.lax.top_k(mg, k)
+        return idx, mg_top, jnp.take(gains, idx, axis=1), \
+            jnp.take(S, idx, axis=1)
+
+    return score
+
+
 def _components(fams: Sequence[Tuple[List[int], np.ndarray]]
                 ) -> List[List[int]]:
     """Connected components of families sharing variables."""
@@ -125,35 +235,33 @@ def _components(fams: Sequence[Tuple[List[int], np.ndarray]]
 def _solve_component_native(lib, fam_masks, n: int,
                             exhaustive_limit: int, icm_restarts: int
                             ) -> Optional[np.ndarray]:
-    """One component through the C++ core (native/flipsolve.cc).
-    Returns a bool[n] assignment, or None when inputs exceed the ABI."""
+    """One component through the C++ core (native/flipsolve.cc, v2 ABI —
+    byte-vector assignment, no component-size limit).  Returns a bool[n]
+    assignment, or None when inputs exceed the ABI."""
     import ctypes
-    if n > 63:
-        return None
     fam_nv = np.array([len(pos) for pos, _ in fam_masks], dtype=np.int32)
     if (fam_nv > 16).any():
         return None
     vpos = np.concatenate([pos for pos, _ in fam_masks]).astype(np.int32) \
         if fam_masks else np.zeros(0, np.int32)
-    scores = np.concatenate([np.asarray(S, dtype=np.float64)
+    scores = np.concatenate([np.ascontiguousarray(S, dtype=np.float64)
                              for _, S in fam_masks])
     lens = np.array([len(S) for _, S in fam_masks], dtype=np.int64)
     s_off = np.zeros(len(fam_masks), dtype=np.int64)
     if len(lens) > 1:
         s_off[1:] = np.cumsum(lens[:-1])
-    out_mask = ctypes.c_uint64(0)
+    out_vec = np.zeros(n, dtype=np.uint8)
 
     def ptr(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
-    lib.flip_solve_component(
+    lib.flip_solve_component_v2(
         np.int32(n), np.int32(len(fam_masks)),
         ptr(fam_nv, ctypes.c_int32), ptr(vpos, ctypes.c_int32),
         ptr(s_off, ctypes.c_int64), ptr(scores, ctypes.c_double),
         np.int32(exhaustive_limit), np.int32(icm_restarts), np.int32(12),
-        ctypes.c_uint64(0x9E3779B97F4A7C15), ctypes.byref(out_mask))
-    m = out_mask.value
-    return np.array([(m >> i) & 1 for i in range(n)], dtype=bool)
+        ctypes.c_uint64(0x9E3779B97F4A7C15), ptr(out_vec, ctypes.c_uint8))
+    return out_vec.astype(bool)
 
 
 def solve_marker(fams: Sequence[Tuple[List[int], np.ndarray]],
@@ -182,71 +290,86 @@ def solve_marker(fams: Sequence[Tuple[List[int], np.ndarray]],
         for fi in comp:
             vars_, S = fams[fi]
             fam_masks.append((np.array([vidx[v] for v in vars_]), S))
-        if lib is not None:
-            vec = _solve_component_native(
-                lib, fam_masks, n, max(exhaustive_limit, 20), icm_restarts)
-            if vec is not None:
-                for v, i in vidx.items():
-                    if vec[i]:
-                        assign[v] = True
-                continue
-        if n <= exhaustive_limit:
-            best_a, best_score = 0, -np.inf
-            for a in range(1 << n):
-                sc = 0.0
-                for pos, S in fam_masks:
-                    p = 0
-                    for i, vp in enumerate(pos):
-                        if (a >> vp) & 1:
-                            p |= 1 << i
-                    sc += S[p]
-                if sc > best_score:
-                    best_score, best_a = sc, a
-            for v, i in vidx.items():
-                if (best_a >> i) & 1:
-                    assign[v] = True
-        else:
-            # ICM with a var -> families index so each coordinate update
-            # only touches its own families
-            byvar = [[] for _ in range(n)]
-            for fi2, (pos, S) in enumerate(fam_masks):
-                for vp in set(pos.tolist()):
-                    byvar[vp].append(fi2)
-
-            def fam_score(fi2, vec):
-                pos, S = fam_masks[fi2]
-                p = 0
-                for k, vp in enumerate(pos):
-                    if vec[vp]:
-                        p |= 1 << k
-                return S[p]
-
-            best_vec, best_score = None, -np.inf
-            for r in range(icm_restarts):
-                vec = np.zeros(n, dtype=bool) if r == 0 else \
-                    rng.random(n) < 0.3
-                for _ in range(12):
-                    changed = False
-                    for i in range(n):
-                        sc = [0.0, 0.0]
-                        for flip in (False, True):
-                            vec[i] = flip
-                            for fi2 in byvar[i]:
-                                sc[flip] += fam_score(fi2, vec)
-                        better = sc[1] > sc[0]
-                        if vec[i] != better:
-                            changed = True
-                        vec[i] = better
-                    if not changed:
-                        break
-                total = sum(fam_score(fi2, vec)
-                            for fi2 in range(len(fam_masks)))
-                if total > best_score:
-                    best_score, best_vec = total, vec.copy()
-            for v, i in vidx.items():
-                if best_vec[i]:
-                    assign[v] = True
+        vec = solve_component(fam_masks, n, exhaustive_limit=exhaustive_limit,
+                              icm_restarts=icm_restarts, rng=rng, lib=lib,
+                              use_native=use_native)
+        for v, i in vidx.items():
+            if vec[i]:
+                assign[v] = True
     return assign
+
+
+def solve_component(fam_masks, n: int, exhaustive_limit: int = 13,
+                    icm_restarts: int = 2,
+                    rng: Optional[np.random.Generator] = None,
+                    lib=None, use_native: bool = True) -> np.ndarray:
+    """Best joint assignment for one connected component.
+
+    fam_masks: per family (component-local variable positions, score
+    vector S[P]).  Returns bool[n]."""
+    rng = rng or np.random.default_rng(0)
+    if lib is None and use_native:
+        from ..native import load_flipsolve
+        lib = load_flipsolve()
+    if lib is not None:
+        vec = _solve_component_native(
+            lib, fam_masks, n, max(exhaustive_limit, 20), icm_restarts)
+        if vec is not None:
+            return vec
+    if n <= exhaustive_limit:
+        best_a, best_score = 0, -np.inf
+        for a in range(1 << n):
+            sc = 0.0
+            for pos, S in fam_masks:
+                p = 0
+                for i, vp in enumerate(pos):
+                    if (a >> vp) & 1:
+                        p |= 1 << i
+                sc += S[p]
+            if sc > best_score:
+                best_score, best_a = sc, a
+        return np.array([(best_a >> i) & 1 for i in range(n)], dtype=bool)
+    # ICM with a var -> families index so each coordinate update only
+    # touches its own families
+    byvar = [[] for _ in range(n)]
+    for fi2, (pos, S) in enumerate(fam_masks):
+        for vp in set(pos.tolist()):
+            byvar[vp].append(fi2)
+
+    def fam_score(fi2, vec):
+        pos, S = fam_masks[fi2]
+        p = 0
+        for k, vp in enumerate(pos):
+            if vec[vp]:
+                p |= 1 << k
+        return S[p]
+
+    # "flip nothing" is always feasible: the all-false assignment backs
+    # up restarts that land on mutually infeasible (-inf) patterns
+    best_vec, best_score = np.zeros(n, dtype=bool), -np.inf
+    for r in range(icm_restarts):
+        vec = np.zeros(n, dtype=bool) if r == 0 else \
+            rng.random(n) < 0.3
+        for _ in range(12):
+            changed = False
+            for i in range(n):
+                have = bool(vec[i])
+                sc = [0.0, 0.0]
+                for flip in (False, True):
+                    vec[i] = flip
+                    for fi2 in byvar[i]:
+                        sc[flip] += fam_score(fi2, vec)
+                better = sc[1] > sc[0]
+                if better != have:
+                    changed = True
+                vec[i] = better
+            if not changed:
+                break
+        total = sum(fam_score(fi2, vec)
+                    for fi2 in range(len(fam_masks)))
+        if total > best_score:
+            best_score, best_vec = total, vec.copy()
+    return best_vec
 
 
 @dataclasses.dataclass
