@@ -428,6 +428,9 @@ class Driver:
                 if self.adaptive_relhaplo and self.cfg.relskews:
                     with self.tracer.span("coherence"):
                         from .updates.scatter import scatter_coherence
+                        # one dispatch per slot: an all-slot program was
+                        # tried and exceeds HBM at B=1000 (XLA schedules
+                        # the slot chains' temporaries concurrently)
                         coh = np.stack([
                             np.asarray(coh_fn(fbj, dj, res.fw_pre, res.bw,
                                               res.fw_pre_f, res.bw_f, slot))
@@ -681,23 +684,26 @@ class Driver:
         import jax.numpy as jnp
         ped = self.ped
         NI, M = infacc.shape[:2]
-        md = np.stack([ped.by_id(n).markerdata for n in ids])
-        msu = np.stack([ped.by_id(n).markersure for n in ids])
-        prior = np.stack([ped.by_id(n).priormarkerdata
-                          if ped.by_id(n).has_prior else
-                          np.zeros((M, 2), dtype=np.int32) for n in ids])
-        priorsure = np.stack([ped.by_id(n).priormarkersure
+        with self.tracer.span("stack"):
+            md = np.stack([ped.by_id(n).markerdata for n in ids])
+            msu = np.stack([ped.by_id(n).markersure for n in ids])
+            prior = np.stack([ped.by_id(n).priormarkerdata
                               if ped.by_id(n).has_prior else
-                              np.zeros((M, 2)) for n in ids])
-        has_prior = np.array([ped.by_id(n).has_prior for n in ids])
-        children = np.array([ped.by_id(n).children for n in ids])
+                              np.zeros((M, 2), dtype=np.int32)
+                              for n in ids])
+            priorsure = np.stack([ped.by_id(n).priormarkersure
+                                  if ped.by_id(n).has_prior else
+                                  np.zeros((M, 2)) for n in ids])
+            has_prior = np.array([ped.by_id(n).has_prior for n in ids])
+            children = np.array([ped.by_id(n).children for n in ids])
 
         _, ui = self._jitted_updates()
-        res = ui(jnp.asarray(infacc), jnp.asarray(md),
-                 jnp.asarray(msu), jnp.asarray(prior),
-                 jnp.asarray(priorsure), jnp.asarray(has_prior),
-                 jnp.asarray(children), jnp.asarray(float(scalefactor)))
-        newp = np.asarray(res.newprob)
+        with self.tracer.span("device"):
+            res = ui(jnp.asarray(infacc), jnp.asarray(md),
+                     jnp.asarray(msu), jnp.asarray(prior),
+                     jnp.asarray(priorsure), jnp.asarray(has_prior),
+                     jnp.asarray(children), jnp.asarray(float(scalefactor)))
+            newp = np.asarray(res.newprob)
         live = infacc > 0
         for i, n in enumerate(ids):
             ind = ped.by_id(n)
