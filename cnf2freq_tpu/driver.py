@@ -389,6 +389,13 @@ class Driver:
             scan_fn, coh_fn = self._jitted_scan_merged(NI)
             dists = np.diff(ped.markerposes[lo:hi]).astype(self.dtype)
             dj = jnp.asarray(dists)
+            # per-interval per-bit map rates: carries re-estimated
+            # genetic-map rates (remap_distances -> ped.actrec) into
+            # every subsequent scan
+            from .hmm.transition import rate_matrix
+            rj = jnp.asarray(rate_matrix(self.cfg, self.params,
+                                         hi - lo - 1, ped.actrec, lo,
+                                         dtype=self.dtype))
 
             # analysis units stream through the device in fixed-size
             # chunks: one compiled program, bounded HBM at any cohort size
@@ -404,7 +411,7 @@ class Driver:
                         fbatch = pad_batch(fbatch, bs)
                     fbj = fbatch.map(jnp.asarray)
                 with self.tracer.span("scan"):
-                    res, hb_p, hc_p, inf_p = scan_fn(fbj, dj, lutj)
+                    res, hb_p, hc_p, inf_p = scan_fn(fbj, dj, lutj, rj)
                     # tiny readback as the sync point: attributes device
                     # time here rather than to the first big transfer
                     _ = np.asarray(res.total)
@@ -424,7 +431,7 @@ class Driver:
                     infacc[:, lo:hi] += np.asarray(inf_p,
                                                    dtype=np.float64)
                 if self.remap_distances:
-                    self._update_genetic_map(lo, hi, fbj, dj, res)
+                    self._update_genetic_map(lo, hi, fbj, dj, res, rj)
                 if self.adaptive_relhaplo and self.cfg.relskews:
                     with self.tracer.span("coherence"):
                         from .updates.scatter import scatter_coherence
@@ -433,7 +440,8 @@ class Driver:
                         # the slot chains' temporaries concurrently)
                         coh = np.stack([
                             np.asarray(coh_fn(fbj, dj, res.fw_pre, res.bw,
-                                              res.fw_pre_f, res.bw_f, slot))
+                                              res.fw_pre_f, res.bw_f, slot,
+                                              ratemat=rj))
                             for slot in range(self.cfg.numslots)], axis=-1)
                         scatter_coherence(sb, desc, lo, coh[:nb],
                                           coh_num, coh_den, ind_index)
@@ -509,10 +517,12 @@ class Driver:
     # (movehaplos/moveinfprobs scatter live in updates/scatter.py as
     # batched numpy; loop-form parity pinned by tests/test_scatter.py)
 
-    def _update_genetic_map(self, lo, hi, fbj, dj, res):
+    def _update_genetic_map(self, lo, hi, fbj, dj, res, rj):
         """EM update of per-sex per-interval recombination rates from the
         posterior switch expectations (replaces the reference's
-        twicestop-probe machinery, cnF2freq.cpp:5586-5664, 6196-6230)."""
+        twicestop-probe machinery, cnF2freq.cpp:5586-5664, 6196-6230).
+        The updated ped.actrec feeds back into every later scan through
+        the rate_matrix argument of the jitted scan."""
         import jax.numpy as jnp
         from .engine import make_jitted_recomb
         key = ("recomb", self.dtype)
@@ -520,7 +530,8 @@ class Driver:
             self._scan_cache[key] = make_jitted_recomb(self.cfg,
                                                        self.params)
         p = np.asarray(self._scan_cache[key](
-            fbj, dj, res.fw_pre, res.bw, res.fw_pre_f, res.bw_f))
+            fbj, dj, res.fw_pre, res.bw, res.fw_pre_f, res.bw_f,
+            ratemat=rj))
         # [B, M-1, typebits] -> per-sex interval means over individuals
         sexes = np.asarray(self.cfg.typesexes)
         ped = self.ped
@@ -535,10 +546,6 @@ class Driver:
             rate = np.clip(rate, -20.0, -1e-4)
             old = ped.actrec[sex, lo + 1:hi]
             ped.actrec[sex, lo + 1:hi] = 0.5 * old + 0.5 * rate
-        # future scans could consume ped.actrec through
-        # interval_recomb(rates=...); wiring the per-interval rates into
-        # the jitted scan is the remaining step (kept out while the scan
-        # signature is stable for the bench)
 
     def _flip_static(self, dous, chrom):
         """Marker-independent flip-problem structure, cached per

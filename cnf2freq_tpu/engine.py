@@ -61,7 +61,7 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
                     params: RuntimeParams, with_infprobs: bool = True,
                     with_coherence: bool = False,
                     use_stats_pallas: bool = None,
-                    use_scan_v2: bool = None) -> ScanResult:
+                    use_scan_v2: bool = None, ratemat=None) -> ScanResult:
     if use_scan_v2 is None:
         use_scan_v2 = _scan_v2_default(cfg)
     stats_dtype_ok_v2 = (fb.ms.dtype == jnp.float32
@@ -73,10 +73,11 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
         # recomputed in VMEM, batch on the lane axis, zero-copy stats
         from .ops.scan_v2 import chromosome_scan_v2
         return chromosome_scan_v2(fb, dists, cfg, params,
-                                  interpret=jax.default_backend() == "cpu")
+                                  interpret=jax.default_backend() == "cpu",
+                                  ratemat=ratemat)
     blocks = build_blocks(fb, cfg, dtype=fb.ms.dtype)
     e = assemble_e_all(blocks, cfg)
-    fbres = forward_backward(e, dists, cfg, params)
+    fbres = forward_backward(e, dists, cfg, params, ratemat=ratemat)
     total = combined_loglik(fbres, fb.shiftignore)
     B, M = fb.md.shape[0], fb.md.shape[2]
     if use_stats_pallas is None:
@@ -97,7 +98,8 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
         turn_w = turn_weights_fast(fbres, fb, cfg)
         if with_coherence:
             lam = transition_eigenvalues(
-                cfg, interval_recomb(cfg, params, dists)).astype(e.dtype)
+                cfg, interval_recomb(cfg, params, dists,
+                                     ratemat=ratemat)).astype(e.dtype)
             coh = phase_coherence(fbres, blocks, fb, cfg, lam)
         else:
             coh = jnp.full((B, M, cfg.numslots), 0.5, dtype=e.dtype)
@@ -124,7 +126,8 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
     turn_w = turn_weights_fast(fbres, fb, cfg)
     if with_coherence:
         lam = transition_eigenvalues(
-            cfg, interval_recomb(cfg, params, dists)).astype(e.dtype)
+            cfg, interval_recomb(cfg, params, dists,
+                                 ratemat=ratemat)).astype(e.dtype)
         coh = phase_coherence(fbres, blocks, fb, cfg, lam)
     else:
         coh = jnp.full((B, M, cfg.numslots), 0.5, dtype=e.dtype)
@@ -154,8 +157,8 @@ def make_jitted_scan_merged(cfg: ModelConfig, params: RuntimeParams,
     from .parallel.collective import merge_haplos, merge_infprobs
 
     @jax.jit
-    def run(fb: FamilyBatch, dists, lut):
-        res = chromosome_scan(fb, dists, cfg, params)
+    def run(fb: FamilyBatch, dists, lut, ratemat):
+        res = chromosome_scan(fb, dists, cfg, params, ratemat=ratemat)
         hb, hc = merge_haplos(res.haplo_b12, res.haplo_mask, fb.hw,
                               fb.slot_ind, fb.descendants, lut,
                               num_individuals)
@@ -176,10 +179,12 @@ def make_jitted_coherence(cfg: ModelConfig, params: RuntimeParams):
     from .hmm.probes import phase_coherence_slot
 
     @partial(jax.jit, static_argnames=("slot",))
-    def run(fb: FamilyBatch, dists, fw_pre, bw, fw_pre_f, bw_f, slot: int):
+    def run(fb: FamilyBatch, dists, fw_pre, bw, fw_pre_f, bw_f, slot: int,
+            ratemat=None):
         blocks = build_blocks(fb, cfg, dtype=fb.ms.dtype)
         lam = transition_eigenvalues(
-            cfg, interval_recomb(cfg, params, dists)).astype(fw_pre.dtype)
+            cfg, interval_recomb(cfg, params, dists,
+                                 ratemat=ratemat)).astype(fw_pre.dtype)
         fbres = FBResult(fw_pre=fw_pre, fw_post=fw_pre, bw=bw,
                          fw_pre_f=fw_pre_f, fw_post_f=fw_pre_f, bw_f=bw_f)
         return phase_coherence_slot(fbres, blocks, fb, cfg, lam, slot)
@@ -195,11 +200,13 @@ def make_jitted_recomb(cfg: ModelConfig, params: RuntimeParams):
     from .hmm.probes import recombination_expectations
 
     @jax.jit
-    def run(fb: FamilyBatch, dists, fw_pre, bw, fw_pre_f, bw_f):
+    def run(fb: FamilyBatch, dists, fw_pre, bw, fw_pre_f, bw_f,
+            ratemat=None):
         blocks = build_blocks(fb, cfg, dtype=fw_pre.dtype)
         e = assemble_e_all(blocks, cfg)
         lam = transition_eigenvalues(
-            cfg, interval_recomb(cfg, params, dists)).astype(fw_pre.dtype)
+            cfg, interval_recomb(cfg, params, dists,
+                                 ratemat=ratemat)).astype(fw_pre.dtype)
         pe = fw_pre * e
         s = pe.sum(axis=-1, keepdims=True)
         fw_post = jnp.where(s > 0, pe / jnp.where(s > 0, s, 1.0), 0.0)

@@ -54,14 +54,16 @@ def _emit_normalise(p, e, logf):
 def forward_backward(e_all: jnp.ndarray, dists: jnp.ndarray,
                      cfg: ModelConfig, params: RuntimeParams,
                      use_pallas: bool = None,
-                     pallas_interpret: bool = False) -> FBResult:
+                     pallas_interpret: bool = False,
+                     ratemat=None) -> FBResult:
     """e_all: [B, M, NS, S] emission tensors; dists: [M-1] interval cM.
 
     use_pallas: run the sweeps in the fused Pallas kernel (default: on
-    TPU backends when the state space is the MXU-friendly 64)."""
+    TPU backends when the state space is the MXU-friendly 64).
+    ratemat: optional [M-1, typebits] map rates (transition.rate_matrix)."""
     B, M, NS, S = e_all.shape
     dtype = e_all.dtype
-    r = interval_recomb(cfg, params, dists)
+    r = interval_recomb(cfg, params, dists, ratemat=ratemat)
     lam = transition_eigenvalues(cfg, r).astype(dtype)      # [M-1, S]
 
     if use_pallas is None:

@@ -33,16 +33,21 @@ def hadamard(nbits: int, dtype_name: str = "float64") -> np.ndarray:
 
 
 def interval_recomb(cfg: ModelConfig, params: RuntimeParams,
-                    dists, rates=None) -> jnp.ndarray:
+                    dists, rates=None, ratemat=None) -> jnp.ndarray:
     """Per-interval, per-meiosis-bit recombination probabilities
     r[interval, typebits] = 0.5 (1 - exp(rate * dist))
     (cnF2freq.cpp:2286).
 
+    ratemat: optional per-interval per-bit rate matrix
+    [intervals, typebits] (see ``rate_matrix``) — the jit-friendly form
+    that carries re-estimated genetic-map rates into the scan.
     rates: optional per-sex per-interval map rates [2, intervals] (the
     actrec / PERMARKERACTREC mechanism, cnF2freq.cpp:771-790); default is
     the global per-generation base rate."""
     dists = jnp.asarray(dists)
-    if rates is None:
+    if ratemat is not None:
+        rate = jnp.asarray(ratemat) * dists[:, None]
+    elif rates is None:
         genrec = jnp.asarray([params.genrec[g] for g in cfg.typegens],
                              dtype=dists.dtype)
         rate = genrec[None, :] * dists[:, None]
@@ -51,6 +56,25 @@ def interval_recomb(cfg: ModelConfig, params: RuntimeParams,
         sexes = np.asarray(cfg.typesexes)
         rate = rates[sexes, :].T * dists[:, None]
     return 0.5 * (1.0 - jnp.exp(rate))
+
+
+def rate_matrix(cfg: ModelConfig, params: RuntimeParams, n_intervals: int,
+                actrec=None, lo: int = 0, dtype=np.float64) -> np.ndarray:
+    """Host-side per-interval per-bit rate matrix [n, typebits].
+
+    Default: the per-generation base rates (genrec, cnF2freq.cpp:295)
+    broadcast over intervals.  With ``actrec`` (re-estimated per-sex
+    per-marker rates, driver.remap_distances): actrec[sex, lo+1+i] for
+    interval i — the getactrec convention (cnF2freq.cpp:771-790), rates
+    stored at the interval's right marker."""
+    if actrec is None:
+        genrec = np.asarray([params.genrec[g] for g in cfg.typegens],
+                            dtype=dtype)
+        return np.broadcast_to(genrec[None, :],
+                               (n_intervals, len(cfg.typegens))).copy()
+    sexes = np.asarray(cfg.typesexes)
+    return np.asarray(actrec, dtype=dtype)[sexes,
+                                           lo + 1:lo + 1 + n_intervals].T
 
 
 def transition_eigenvalues(cfg: ModelConfig, r: jnp.ndarray) -> jnp.ndarray:

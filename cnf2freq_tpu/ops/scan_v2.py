@@ -214,12 +214,12 @@ def _transition_v2(p, lam_row, H, NS, S):
 
 
 def fb_scan_v2(e: jnp.ndarray, dists: jnp.ndarray, cfg: ModelConfig,
-               params: RuntimeParams) -> FBv2:
+               params: RuntimeParams, ratemat=None) -> FBv2:
     """e: [M, X, R] from emission_tiles (tile axes flattened)."""
     M, X, R = e.shape
     S, NS = cfg.numtypes, cfg.numshifts
     dtype = e.dtype
-    r = interval_recomb(cfg, params, dists)
+    r = interval_recomb(cfg, params, dists, ratemat=ratemat)
     lam = transition_eigenvalues(cfg, r).astype(dtype)      # [M-1, S]
     lam_pad = jnp.concatenate([lam, jnp.ones((1, S), dtype=dtype)], 0)
     H = jnp.asarray(hadamard(int(S).bit_length() - 1, str(dtype)))
@@ -390,7 +390,7 @@ def stats_from_v2(st: SlotTensors, fb2: FBv2, total: jnp.ndarray,
 # ---------------------------------------------------------------------------
 def chromosome_scan_v2(fb: FamilyBatch, dists: jnp.ndarray,
                        cfg: ModelConfig, params: RuntimeParams,
-                       interpret: bool = False):
+                       interpret: bool = False, ratemat=None):
     """engine.chromosome_scan on the feature-leading pipeline.
 
     Returns an engine.ScanResult; the fw/bw sweep tensors are converted
@@ -406,7 +406,8 @@ def chromosome_scan_v2(fb: FamilyBatch, dists: jnp.ndarray,
     st = prep_slots(fb, dtype)
     R = st.nb * _TN
     e = emission_tiles(st, M, cfg, dtype=dtype, interpret=interpret)
-    fb2 = fb_scan_v2(e.reshape(M, NS * S, R), dists, cfg, params)
+    fb2 = fb_scan_v2(e.reshape(M, NS * S, R), dists, cfg, params,
+                     ratemat=ratemat)
     total_r = combined_loglik_v2(fb2, st.sh)
     b12, accum, pair = stats_from_v2(st, fb2, total_r, M, B, cfg, dtype,
                                      interpret=interpret)

@@ -144,6 +144,42 @@ def test_map_reestimation_recovers_rates():
     assert np.abs(est.mean() + 0.02) < 0.008
 
 
+def test_rate_matrix_feeds_scan():
+    """Re-estimated map rates (ped.actrec) reach the scan: the default
+    rate matrix reproduces the no-matrix scan exactly, a different
+    actrec changes the likelihoods."""
+    import jax.numpy as jnp
+
+    from cnf2freq_tpu.config import ModelConfig, RuntimeParams
+    from cnf2freq_tpu.engine import chromosome_scan
+    from cnf2freq_tpu.hmm.family import gather_family
+    from cnf2freq_tpu.hmm.transition import rate_matrix
+
+    ped = simulate_f2(n_f2=5, n_markers=7, seed=9)
+    for ind in ped.inds[1:]:
+        ped.fixtrees(ind.n)
+    ped.count_descendants()
+    fb = gather_family(ped, ped.dous, 0, ped.num_markers - 1).map(
+        jnp.asarray)
+    dists = jnp.asarray(np.diff(ped.markerposes))
+    cfg, params = ModelConfig(), RuntimeParams()
+    M = ped.num_markers
+
+    base = chromosome_scan(fb, dists, cfg, params, use_scan_v2=False)
+    rm_def = rate_matrix(cfg, params, M - 1)
+    same = chromosome_scan(fb, dists, cfg, params, use_scan_v2=False,
+                           ratemat=jnp.asarray(rm_def))
+    np.testing.assert_allclose(np.asarray(same.total),
+                               np.asarray(base.total), rtol=1e-12)
+
+    actrec = np.full((2, M), -0.5)       # much hotter map than genrec
+    rm_hot = rate_matrix(cfg, params, M - 1, actrec, 0)
+    hot = chromosome_scan(fb, dists, cfg, params, use_scan_v2=False,
+                          ratemat=jnp.asarray(rm_hot))
+    assert np.abs(np.asarray(hot.total) -
+                  np.asarray(base.total)).max() > 1e-6
+
+
 def test_demo_golden_artifact_parity():
     """Genotype-class calls match the reference's checked-in golden output
     (demooutput) on every real marker for both imputed individuals.
