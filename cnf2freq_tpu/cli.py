@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=None,
                    help="maximum number of individuals")
     p.add_argument("--output", help="output file for the genotype table")
+    p.add_argument("--lineorigin", help="output file for posterior "
+                   "line-origin class tables (founder-strain tracing)")
     p.add_argument("--deserialize", help="previous dump to restore")
     p.add_argument("--outputpedfile", help="write a ped file and exit-ish")
     p.add_argument("--capmarker", type=int, default=None,
@@ -176,6 +178,10 @@ def main(argv=None) -> int:
     if args.output:
         with open(args.output, "w") as f:
             write_genotype_table(ped, driver.pair_tables, f)
+    if args.lineorigin:
+        from .io.outputs import write_line_origin_table
+        with open(args.lineorigin, "w") as f:
+            write_line_origin_table(ped, driver.line_origin_tables(), f)
     if args.templatevcffile and args.outputvcffile:
         from .io.vcf import output_vcf
         output_vcf(ped, args.templatevcffile, args.outputvcffile)

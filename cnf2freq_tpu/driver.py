@@ -780,6 +780,42 @@ class Driver:
             ped.by_id(n).haploweight[:] = newhw[i]
         return int(res.hits)
 
+    def line_origin_tables(self) -> Dict[int, np.ndarray]:
+        """{focal id: [Mtot, 3]} posterior line-origin class tables (the
+        reference's zeropropagate gstr probe as a reporter,
+        cnF2freq.cpp:5512) for every analysis individual."""
+        import jax.numpy as jnp
+
+        from .engine import make_jitted_line_origin
+        from .hmm.transition import rate_matrix
+        key = ("line_origin", self.dtype)
+        if key not in self._scan_cache:
+            self._scan_cache[key] = make_jitted_line_origin(self.cfg,
+                                                            self.params)
+        fn = self._scan_cache[key]
+        ped = self.ped
+        dous = list(ped.dous)
+        M = ped.num_markers
+        tabs = {n: np.zeros((M, 3)) for n in dous}
+        for c in range(ped.num_chromosomes):
+            lo, hi = ped.chromosome_range(c)
+            dists = np.diff(ped.markerposes[lo:hi]).astype(self.dtype)
+            rm = rate_matrix(self.cfg, self.params, hi - lo - 1,
+                             ped.actrec, lo, dtype=self.dtype)
+            bs = self.batch_size or len(dous)
+            for b0 in range(0, len(dous), bs):
+                chunk = dous[b0:b0 + bs]
+                fbatch = gather_family(ped, chunk, lo, hi - 1,
+                                       dtype=self.dtype)
+                if len(chunk) < bs:
+                    from .parallel.mesh import pad_batch
+                    fbatch = pad_batch(fbatch, bs)
+                P = np.asarray(fn(fbatch.map(jnp.asarray),
+                                  jnp.asarray(dists), jnp.asarray(rm)))
+                for i, n in enumerate(chunk):
+                    tabs[n][lo:hi] = P[i]
+        return tabs
+
     def _adapt_scalefactor(self, any_inv: bool, hitnnn: int, ndous: int):
         """cnF2freq.cpp:6333-6392."""
         st = self.state

@@ -192,6 +192,24 @@ def make_jitted_coherence(cfg: ModelConfig, params: RuntimeParams):
     return run
 
 
+def make_jitted_line_origin(cfg: ModelConfig, params: RuntimeParams):
+    """Line-origin class posteriors [B, M, 3] for a chromosome: the
+    zeropropagate gstr reporter (probes.line_origin_posterior) on a
+    fresh forward-backward."""
+    from .hmm.probes import line_origin_posterior, posterior_weight
+
+    @jax.jit
+    def run(fb: FamilyBatch, dists, ratemat):
+        blocks = build_blocks(fb, cfg, dtype=fb.ms.dtype)
+        e = assemble_e_all(blocks, cfg)
+        fbres = forward_backward(e, dists, cfg, params, ratemat=ratemat)
+        total = combined_loglik(fbres, fb.shiftignore)
+        W = posterior_weight(fbres, total, fb.shiftignore)
+        return line_origin_posterior(W, blocks, fb, cfg)
+
+    return run
+
+
 def make_jitted_recomb(cfg: ModelConfig, params: RuntimeParams):
     """Posterior per-interval, per-meiosis-bit recombination expectations
     as their own pass (genetic-map re-estimation)."""

@@ -220,6 +220,100 @@ def turn_scores(fbres: FBResult, fb: FamilyBatch, cfg: ModelConfig,
     return TurnScores(raw=raw, weight=w)
 
 
+def line_origin_posterior(W: jnp.ndarray, blocks: EmissionBlocks,
+                          fb: FamilyBatch, cfg: ModelConfig) -> jnp.ndarray:
+    """P[b, m, c(3)]: posterior distribution of the line-origin class —
+    how many of the focal's two strands trace to a founder allele '2'.
+
+    The tensor form of the reference's zeropropagate gstr probe
+    (trackpossible<false, true> at cnF2freq.cpp:5512; the counting hook
+    at cnF2freq.cpp:1264-1266): under zero-propagation the inheritance
+    path of every (state, path, shift) probe is deterministic, so the
+    count is a pure function of the path bits and each branch's top
+    slot — parent's grandparent ``p0`` read at interpretation ``rg``,
+    the parent itself when it is a founder or its ancestor slot is
+    vacant (the recursion's ``par is None`` stop), or the focal for a
+    vacant first-branch parent.  The reference computes the value per
+    probe and leaves it unreported (reporter.addval commented out,
+    cnF2freq.cpp:5553); here it becomes a posterior reporter."""
+    if cfg.selfing or cfg.relskewstates:
+        raise ValueError("line-origin reporter supports the standard "
+                         "state space only")
+    dtype = W.dtype
+    Wr = _w_bits(W, cfg)
+    froot, pb = blocks.froot, blocks.pb
+    V = [_valid_paths(fb.flag2ignore, k).astype(dtype) for k in range(2)]
+    PB = [pb[k] * V[k][:, None, None, None, :, None] for k in range(2)]
+
+    fp = np.arange(8)
+    fpath = np.arange(8)
+    p0 = jnp.asarray(fp & 1)                  # gp fed by the bound allele
+    rp = jnp.asarray(fpath & 1)               # parent interpretation bit
+
+    def pick_m(md2, bit):
+        """md2 [B, M, 2] indexed by a [len]-bit array -> [B, M, len]."""
+        return jnp.where(bit[None, None, :] == 1, md2[:, :, 1:2],
+                         md2[:, :, 0:1])
+
+    sides = []
+    for k in range(2):
+        ps = cfg.parent_slot(k)
+        par2 = fb.md[:, ps] == 2                       # [B, M, 2]
+        par_rp2 = pick_m(par2, rp)                     # [B, M, fpath]
+        gp2 = []
+        gpex = []
+        for j in range(2):
+            gs = cfg.grandparent_slot(k, j)
+            rgj = jnp.asarray((fpath >> (1 + j)) & 1)
+            gp2.append(pick_m(fb.md[:, gs] == 2, rgj))  # [B, M, fpath]
+            gpex.append(fb.exists[:, gs])
+        gpj2 = jnp.where(p0[None, None, :, None] == 1,
+                         gp2[1][:, :, None, :], gp2[0][:, :, None, :])
+        gpjex = jnp.where(p0[None, :] == 1, gpex[1][:, None],
+                          gpex[0][:, None])            # [B, fp]
+        deep = jnp.where(gpjex[:, None, :, None], gpj2,
+                         par_rp2[:, :, None, :])       # [B, M, fp, fpath]
+        topv = jnp.broadcast_to(par_rp2[:, :, None, :], deep.shape)
+        par_at = fb.attop[:, ps][:, None, None, None]
+        par_ex = fb.exists[:, ps][:, None, None, None]
+        ind_fp = jnp.where(par_at, topv, deep)         # [B, M, fp, fpath]
+        ind_fp = jnp.broadcast_to(ind_fp[:, :, None], ind_fp.shape[:2] +
+                                  (2,) + ind_fp.shape[2:])
+        if k == blocks.side:
+            # vacant first-branch parent: count at the focal, md[r0]
+            focal2 = (fb.md[:, 0] == 2)                # [B, M, 2(r0)]
+            vac = jnp.broadcast_to(focal2[:, :, :, None, None],
+                                   ind_fp.shape)
+            ind_k = jnp.where(par_ex[:, :, None], ind_fp, vac)
+        else:
+            # the recursion never counts a vacant second-branch parent
+            # (subtrack returns without the gstr hook)
+            ind_k = jnp.where(par_ex[:, :, None], ind_fp,
+                              jnp.zeros_like(ind_fp))
+        sides.append(ind_k.astype(dtype))              # [B, M, r, fp, fpath]
+
+    PBc = []
+    for k in range(2):
+        PBc.append((PB[k] * (1.0 - sides[k])[..., None],
+                    PB[k] * sides[k][..., None]))
+    T1c = [jnp.einsum("zmrbqv,zmvutba->zmraut", PBc[1][c1], Wr)
+           for c1 in range(2)]
+    P = [[jnp.einsum("zmrapu,zmraut,zmrt->zm", PBc[0][c0], T1c[c1], froot)
+          for c1 in range(2)] for c0 in range(2)]
+    out = jnp.stack([P[0][0], P[0][1] + P[1][0], P[1][1]], axis=-1)
+
+    # founder focal: the walk stops at the root; class = [md[r0] == 2]
+    Wt = Wr.sum(axis=(2, 3, 5, 6))                     # [B, M, t]
+    focal2 = (fb.md[:, 0] == 2).astype(dtype)          # [B, M, r]
+    pf1 = jnp.einsum("zmrt,zmr,zmt->zm", blocks.top, focal2, Wt)
+    pf0 = jnp.einsum("zmrt,zmr,zmt->zm", blocks.top, 1.0 - focal2, Wt)
+    pf = jnp.stack([pf0, pf1, jnp.zeros_like(pf0)], axis=-1)
+    out = jnp.where(blocks.focal_attop[:, None, None], pf, out)
+
+    tot = out.sum(axis=-1, keepdims=True)
+    return jnp.where(tot > 0, out / jnp.where(tot > 0, tot, 1.0), 0.0)
+
+
 def turn_weights_fast(fbres: FBResult, fb: FamilyBatch, cfg: ModelConfig,
                       total_desc_scale: bool = True) -> jnp.ndarray:
     """Turn clause weights via one joint Walsh-Hadamard correlation.

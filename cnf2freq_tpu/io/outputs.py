@@ -54,6 +54,23 @@ def write_genotype_table(ped: Pedigree, pair_tables: Dict[int, np.ndarray],
             out.write("\n")
 
 
+def write_line_origin_table(ped: Pedigree, tables: Dict[int, np.ndarray],
+                            out: TextIO):
+    """Per analysis individual and chromosome: P(0), P(1), P(2) of the
+    line-origin class — how many of the two strands trace to a founder
+    '2' allele (the reference's gstr/mapval statistic, cnF2freq.cpp:5512,
+    computed there but never reported)."""
+    for n in ped.dous:
+        ind = ped.by_id(n)
+        tab = tables.get(n)
+        for c in range(ped.num_chromosomes):
+            lo, hi = ped.chromosome_range(c)
+            out.write(f"{ind.name}:{c + 1}\n")
+            for m in range(lo, hi):
+                row = tab[m] if tab is not None else np.full(3, 1.0 / 3)
+                out.write("\t".join(f"{v:.5f}" for v in row) + "\n")
+
+
 def write_haplotype_dump(ped: Pedigree, out: TextIO,
                          reset_negshift: bool = True):
     """The reference's per-iteration dump (cnF2freq.cpp:8157-8194)."""

@@ -235,3 +235,18 @@ def test_demo_golden_artifact_parity():
         conf = g[:17][sure].max(axis=1)
         assert (conf > 0.5).all()
         assert conf.mean() > 0.9
+
+
+def test_line_origin_tables_driver():
+    """Driver.line_origin_tables: normalized per-marker class posteriors
+    for every analysis individual (the gstr reporter surface)."""
+    ped = simulate_f2(n_f2=4, n_markers=6, seed=3)
+    drv = Driver(ped)
+    drv.preprocess()
+    tabs = drv.line_origin_tables()
+    for n in ped.dous:
+        t = tabs[n]
+        assert t.shape == (6, 3)
+        assert (t >= -1e-9).all()
+        s = t.sum(axis=1)
+        assert np.allclose(s[s > 0], 1.0, atol=1e-6)

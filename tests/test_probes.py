@@ -238,3 +238,43 @@ def test_turn_weights_fast_matches_reference(setup):
                                atol=1e-9)
     # sentinel agreement: both paths flag the same infeasible turns
     np.testing.assert_array_equal(ref > -1e10, fast > -1e10)
+
+
+def test_line_origin_matches_golden(setup):
+    """line_origin_posterior == the golden zeropropagate gstr probe loop
+    (trackpossible<false, true>, cnF2freq.cpp:5512, 1264-1266) weighted
+    by per-(state, path, shift) posterior mass."""
+    from cnf2freq_tpu.config import UNKNOWN, ZP_PROPAGATE
+    from cnf2freq_tpu.hmm.probes import line_origin_posterior
+
+    ped, eng, fbatch, blocks, fbres, total = setup
+    cfg = ped.config
+    W = posterior_weight(fbres, total, fbatch.shiftignore)
+    P = np.asarray(line_origin_posterior(W, blocks, fbatch, cfg))
+
+    for b, n in enumerate(ped.dous):
+        ind = ped.by_id(n)
+        shiftignore, flag2ignore = ped.fixtrees(n)
+        fbs = {s: eng.fwbw(ind, 0, 17, s) for s in range(8)
+               if not (s & shiftignore)}
+        for q in QS:
+            acc = np.zeros(3)
+            for s, fb in fbs.items():
+                for g in range(cfg.numtypes):
+                    for f2 in range(cfg.numpaths):
+                        if f2 & flag2ignore:
+                            continue
+                        v = eng.probe(ind, fb, 0, q, g, f2, s)
+                        if v <= MINFACTOR:
+                            continue
+                        val = math.exp(v - float(total[b]))
+                        gstr = [0]
+                        eng.trackpossible(
+                            ind, 0, ZP_PROPAGATE, UNKNOWN, 0.0, q, g * 2,
+                            f2, s, 1 << (cfg.numgen - 1), 0.0, gstr)
+                        acc[min(gstr[0], 2)] += val
+            if acc.sum() > 0:
+                acc /= acc.sum()
+            np.testing.assert_allclose(
+                P[b, q], acc, atol=1e-9,
+                err_msg=f"ind {n} marker {q}")
