@@ -204,83 +204,153 @@ class Driver:
 
     def _fixparents_round(self) -> int:
         """One correction round: propagate child genotypes to parents and
-        resolve (cnF2freq.cpp:1392-1467, 3282-3357)."""
-        import jax.numpy as jnp
+        resolve (cnF2freq.cpp:1392-1467, 3282-3357).
+
+        Vectorized over the cohort: proposal aggregation is a
+        ufunc.at scatter per (parent row, marker, allele) and the
+        resolution a per-(row, marker) case select over the small allele
+        alphabet.  Loop-form parity pinned by tests/test_preprocess_vec."""
         ped = self.ped
         ids, ok = self._feasibility()
+        NI = len(ids)
         M = ped.num_markers
-        proposals: Dict[int, List[Dict[int, List[float]]]] = {}
+        lut = np.zeros(max(ids) + 1, dtype=np.int64)
+        for i, n in enumerate(ids):
+            lut[n] = i
 
-        def prop_map(n):
-            if n not in proposals:
-                proposals[n] = [dict() for _ in range(M)]
-            return proposals[n]
+        md = np.stack([ped.by_id(n).markerdata for n in ids])   # [NI,M,2]
+        msu = np.stack([ped.by_id(n).markersure for n in ids])
+        pars = np.array([[ped.by_id(n).pars[k] for k in range(2)]
+                         for n in ids], dtype=np.int64)
+        children = np.array([ped.by_id(n).children for n in ids])
 
-        any_corr = 0
-        for bi, n in enumerate(ids):
-            ind = ped.by_id(n)
-            md, msu = ind.markerdata, ind.markersure
-            for m in range(M):
-                ok0, ok1 = ok[bi, m]
-                if not ok0 and not ok1:
-                    if md[m, 0] != UNKNOWN or md[m, 1] != UNKNOWN:
-                        md[m] = (UNKNOWN, UNKNOWN)
-                        msu[m] = (0.0, 0.0)
-                    continue
-                # propagate only when exactly one interpretation survives
-                # (cnF2freq.cpp:1437)
-                if ok0 and ok1:
-                    continue
-                for r in range(2):
-                    if not ok[bi, m, r]:
-                        continue
-                    for k in range(2):
-                        if not ind.pars[k]:
-                            continue
-                        u = (k ^ r) & 1
-                        val = int(md[m, u])
-                        if val == UNKNOWN:
-                            continue
-                        probit = msu[m, 0] + msu[m, 1]
-                        # fully-uncertain pair: odds saturate rather
-                        # than divide by zero
-                        probit = probit / (1.0 - probit) \
-                            if probit < 1.0 else 1e300
-                        pmap = prop_map(ind.pars[k])[m]
-                        old = pmap.get(val, [0, 1.0])
-                        pmap[val] = [old[0] + 1, old[1] * probit]
+        ok0, ok1 = ok[:, :, 0], ok[:, :, 1]
+        # neither interpretation feasible: blank the genotype
+        clear = ~ok0 & ~ok1 & ((md[..., 0] != UNKNOWN) |
+                               (md[..., 1] != UNKNOWN))
+        md[clear] = UNKNOWN
+        msu[clear] = 0.0
 
-        for n, permarker in proposals.items():
-            ind = ped.by_id(n)
-            md, msu = ind.markerdata, ind.markersure
-            for m, pmap in enumerate(permarker):
-                pmap.pop(UNKNOWN, None)
-                known = int(md[m, 0] != UNKNOWN) + int(md[m, 1] != UNKNOWN)
-                if known == 2 or not pmap:
-                    continue
-                if md[m, 0] != UNKNOWN:
-                    pmap.setdefault(int(md[m, 0]),
-                                    [ind.children, msu[m, 0]])
-                if md[m, 1] != UNKNOWN:
-                    pmap.setdefault(int(md[m, 1]),
-                                    [ind.children, msu[m, 1]])
-                vals = sorted(pmap.items())
-                if len(vals) == 2:
-                    cnt = vals[0][1][0] + vals[1][1][0]
-                    md[m] = (vals[0][0], vals[1][0])
-                    msu[m] = (_dosureval(cnt, vals[0][1]),
-                              _dosureval(cnt, vals[1][1]))
-                    any_corr += 1
-                elif len(vals) == 1 and known == 0:
-                    md[m] = (vals[0][0], UNKNOWN)
-                    msu[m] = (_dosureval(vals[0][1][0], vals[0][1]), 0.0)
-                    any_corr += 1
+        # exactly-one interpretation survives: propagate (1437)
+        one = ok0 ^ ok1
+        r = ok1.astype(np.int64)                                # [NI, M]
+        probit = msu[..., 0] + msu[..., 1]
+        odds = np.where(probit < 1.0,
+                        probit / np.where(probit < 1.0, 1.0 - probit, 1.0),
+                        1e300)
+
+        # contributions: (parent row, marker, allele value, odds)
+        rows_l, ms_l, vals_l, odds_l = [], [], [], []
+        mi = np.broadcast_to(np.arange(M)[None, :], (NI, M))
+        for k in range(2):
+            u = k ^ r                                           # [NI, M]
+            val = np.take_along_axis(md, u[..., None],
+                                     axis=2)[..., 0]
+            has_par = (pars[:, k] != 0)[:, None]
+            send = one & has_par & (val != UNKNOWN)
+            bi, mm = np.nonzero(send)
+            rows_l.append(lut[pars[bi, k]])
+            ms_l.append(mm)
+            vals_l.append(val[bi, mm])
+            odds_l.append(odds[bi, mm])
+        rows = np.concatenate(rows_l)
+        mms = np.concatenate(ms_l)
+        vals = np.concatenate(vals_l)
+        oddsv = np.concatenate(odds_l)
+
+        # allele alphabet: proposed values plus the parents' own alleles
+        alpha = np.unique(np.concatenate(
+            [vals, md[md != UNKNOWN].ravel()]))
+        alpha = alpha[alpha != UNKNOWN]
+        A = len(alpha)
+        if A == 0 or len(rows) == 0:
+            any_corr = 0
+        else:
+            aidx = np.searchsorted(alpha, vals)
+            cnt = np.zeros((NI, M, A), dtype=np.int64)
+            prod = np.ones((NI, M, A))
+            np.add.at(cnt, (rows, mms, aidx), 1)
+            with np.errstate(over="ignore"):   # saturated odds products
+                np.multiply.at(prod, (rows, mms, aidx), oddsv)
+            prop = cnt > 0
+
+            # seed the parent's own known alleles (setdefault semantics:
+            # only where no proposal for that value exists)
+            scnt = np.zeros_like(cnt)
+            sprob = np.zeros((NI, M, A))
+            seed = np.zeros((NI, M, A), dtype=bool)
+            for side in range(2):
+                v = md[..., side]
+                kn = v != UNKNOWN
+                ai = np.searchsorted(alpha, np.where(kn, v, alpha[0]))
+                ai = np.clip(ai, 0, A - 1)
+                hit = kn & (np.take_along_axis(
+                    np.broadcast_to(alpha[None, None, :], (NI, M, A)),
+                    ai[..., None], axis=2)[..., 0] == v)
+                put = hit & ~np.take_along_axis(
+                    prop, ai[..., None], axis=2)[..., 0]
+                # side 0 wins over side 1 (setdefault order)
+                put = put & ~np.take_along_axis(
+                    seed, ai[..., None], axis=2)[..., 0]
+                bi, mm = np.nonzero(put)
+                seed[bi, mm, ai[bi, mm]] = True
+                scnt[bi, mm, ai[bi, mm]] = children[bi]
+                sprob[bi, mm, ai[bi, mm]] = msu[bi, mm, side]
+
+            present = prop | seed
+            ecnt = np.where(prop, cnt, scnt)
+            eprob = np.where(prop, prod, sprob)
+
+            known = ((md[..., 0] != UNKNOWN).astype(np.int64) +
+                     (md[..., 1] != UNKNOWN).astype(np.int64))
+            nvals = present.sum(axis=2)
+            active = (known < 2) & prop.any(axis=2)
+
+            ar = np.arange(A)
+            first = np.argmax(present, axis=2)
+            later = present & (ar[None, None, :] > first[..., None])
+            second = np.argmax(later, axis=2)
+
+            def take(x, idx):
+                return np.take_along_axis(x, idx[..., None],
+                                          axis=2)[..., 0]
+
+            c0, c1 = take(ecnt, first), take(ecnt, second)
+            p0, p1 = take(eprob, first), take(eprob, second)
+            v0 = alpha[first]
+            v1 = alpha[second]
+
+            def dosure(what, prob):
+                w = np.maximum(what, 1)
+                logv = np.log(np.maximum(prob, 1e-320)) / w * 4.0
+                with np.errstate(over="ignore", invalid="ignore"):
+                    v = np.exp(logv)
+                    out = np.where(np.isinf(v), 1.0, v / (1.0 + v))
+                return np.where(prob == 0, 0.0, out)
+
+            case2 = active & (nvals == 2)
+            case1 = active & (nvals == 1) & (known == 0)
+            bi, mm = np.nonzero(case2)
+            md[bi, mm, 0] = v0[bi, mm]
+            md[bi, mm, 1] = v1[bi, mm]
+            ctot = c0 + c1
+            msu[bi, mm, 0] = dosure(ctot, p0)[bi, mm]
+            msu[bi, mm, 1] = dosure(ctot, p1)[bi, mm]
+            bi, mm = np.nonzero(case1)
+            md[bi, mm, 0] = v0[bi, mm]
+            md[bi, mm, 1] = UNKNOWN
+            msu[bi, mm, 0] = dosure(c0, p0)[bi, mm]
+            msu[bi, mm, 1] = 0.0
+            any_corr = int(case2.sum() + case1.sum())
+
         # sex-marker normalisation (cnF2freq.cpp:3350-3356)
-        for ind in ped.inds[1:]:
-            md = ind.markerdata
-            swap = md[:, 0] == SEXMARKER
-            if swap.any():
-                md[swap] = md[swap][:, ::-1]
+        swap = md[..., 0] == SEXMARKER
+        md[swap] = md[swap][:, ::-1]
+
+        for i, n in enumerate(ids):
+            ind = ped.by_id(n)
+            ind.markerdata[:] = md[i]
+            ind.markersure[:] = msu[i]
         return any_corr
 
     def _variance_fn(self):
