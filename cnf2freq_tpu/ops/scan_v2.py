@@ -291,10 +291,21 @@ def turn_weights_v2(fb2: FBv2, sh: jnp.ndarray, descendants: jnp.ndarray,
         M, X, R)
     bwp = (fb2.bw.reshape(M, NS, S, R) * bexp[:, :, None]).reshape(M, X, R)
 
-    H = jnp.asarray(hadamard(int(X).bit_length() - 1, str(dtype)))
-    fh = jnp.einsum("jk,mkr->mjr", H, fwp)
-    bh = jnp.einsum("jk,mkr->mjr", H, bwp)
-    D = jnp.einsum("jk,mkr->mjr", H, fh * bh) / X           # [M, X, R]
+    # factored 512-point WHT: H_X = H_NS (x) H_S, applied as one [S, S]
+    # and one [NS, NS] contraction — 7x fewer FLOPs than the dense
+    # [X, X] matmul, which made this the most expensive stage
+    Hs = jnp.asarray(hadamard(int(S).bit_length() - 1, str(dtype)))
+    Hn = jnp.asarray(hadamard(int(NS).bit_length() - 1, str(dtype)))
+
+    def wht_x(x):
+        x = x.reshape(M, NS, S, R)
+        x = jnp.einsum("nt,mtgr->mngr", Hn, x)
+        x = jnp.einsum("gh,mnhr->mngr", Hs, x)
+        return x.reshape(M, X, R)
+
+    fh = wht_x(fwp)
+    bh = wht_x(bwp)
+    D = wht_x(fh * bh) / X                                  # [M, X, R]
 
     idx = np.array([cfg.turn_shift_flip(t) * S + (t & cfg.turn_state_mask)
                     for t in range(cfg.numturns)])
@@ -304,6 +315,258 @@ def turn_weights_v2(fb2: FBv2, sh: jnp.ndarray, descendants: jnp.ndarray,
     ok = vals > 0
     w = jnp.where(ok & ok[:, 0:1], logv - logv[:, 0:1], MINFACTOR)
     w = jnp.transpose(w[:, :, :B], (2, 0, 1))               # [B, M, T]
+    if total_desc_scale:
+        w = w * descendants[:, None, None]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Fused forward-backward kernel in v2 layout: the carry lives in VMEM
+# across the marker grid (the XLA scan bounces carry + per-step
+# intermediates through HBM every step), transitions are butterfly FWHTs
+# on the leading state axis, and only fw_pre / fw_post / bw + factors
+# leave the chip.
+# ---------------------------------------------------------------------------
+def _emit_norm_tile(p, e, f, NS, S, dtype):
+    """p, e: [NS, S, TS, TL]; f: [NS, TS, TL].  adjustprobs semantics
+    (same arithmetic as _emit_norm_v2)."""
+    clip = jnp.asarray(1e-300, dtype=dtype)
+    p = jnp.where(p < clip, 0.0, p)
+    pe = p * e
+    s = pe.sum(axis=1)                                  # [NS, TS, TL]
+    ok = s > 0
+    sden = jnp.where(ok, s, 1.0)
+    pn = jnp.where(ok[:, None], pe / sden[:, None], 0.0)
+    f = jnp.where(ok, f + jnp.log(sden), MINFACTOR)
+    return pn, f
+
+
+def _transition_tile(pn, lam, NS, S):
+    """Butterfly-WHT transition: H diag(lam) H pn / S along the state
+    axis; lam: [S, TS, TL] (pre-broadcast eigenvalues)."""
+    q = _fwht_lead(pn, 1, S) * lam[None]
+    return _fwht_lead(q, 1, S) * (1.0 / S)
+
+
+def _fbv2_fwd_kernel(e_ref, lam_ref, pre_ref, pref_ref, post_ref,
+                     postf_ref, p_scr, f_scr, *, NS, S, evengen):
+    m = pl.program_id(1)
+    T = (_TS, _TL)
+    dtype = p_scr.dtype
+
+    @pl.when(m == 0)
+    def _():
+        p_scr[:] = jnp.full_like(p_scr, evengen)
+        f_scr[:] = jnp.zeros_like(f_scr)
+
+    p = p_scr[:].reshape((NS, S) + T)
+    f = f_scr[:].reshape((NS,) + T)
+    pre_ref[:] = p.reshape(pre_ref.shape)
+    pref_ref[:] = f.reshape(pref_ref.shape)
+
+    e = e_ref[:].reshape((NS, S) + T)
+    pn, f = _emit_norm_tile(p, e, f, NS, S, dtype)
+    post_ref[:] = pn.reshape(post_ref.shape)
+    postf_ref[:] = f.reshape(postf_ref.shape)
+
+    lam = lam_ref[:].reshape((S,) + T)
+    p_scr[:] = _transition_tile(pn, lam, NS, S).reshape(p_scr.shape)
+    f_scr[:] = f.reshape(f_scr.shape)
+
+
+def _fbv2_bwd_kernel(e_ref, lam_ref, bw_ref, bwf_ref, p_scr, f_scr, *,
+                     NS, S, nm):
+    m = pl.program_id(1)
+    T = (_TS, _TL)
+    dtype = p_scr.dtype
+
+    @pl.when(m == 0)
+    def _():
+        p_scr[:] = jnp.ones_like(p_scr)
+        f_scr[:] = jnp.zeros_like(f_scr)
+
+    p = p_scr[:].reshape((NS, S) + T)
+    f = f_scr[:].reshape((NS,) + T)
+    bw_ref[:] = p.reshape(bw_ref.shape)
+    bwf_ref[:] = f.reshape(bwf_ref.shape)
+
+    @pl.when(m < nm - 1)
+    def _():
+        e = e_ref[:].reshape((NS, S) + T)
+        pn, f2 = _emit_norm_tile(p, e, f, NS, S, dtype)
+        lam = lam_ref[:].reshape((S,) + T)
+        p_scr[:] = _transition_tile(pn, lam, NS, S).reshape(p_scr.shape)
+        f_scr[:] = f2.reshape(f_scr.shape)
+
+
+def fb_sweeps_v2_pallas(e: jnp.ndarray, dists: jnp.ndarray,
+                        cfg: ModelConfig, params: RuntimeParams,
+                        ratemat=None, interpret: bool = False) -> FBv2:
+    """fb_scan_v2 as two fused Pallas sweeps.  e: [M, X, R]."""
+    M, X, R = e.shape
+    S, NS = cfg.numtypes, cfg.numshifts
+    dtype = e.dtype
+    nb = R // _TN
+    r = interval_recomb(cfg, params, dists, ratemat=ratemat)
+    lam = transition_eigenvalues(cfg, r).astype(dtype)       # [M-1, S]
+    lam_pad = jnp.concatenate([lam, jnp.ones((1, S), dtype=dtype)], 0)
+    # eigenvalues vary along the leading state axis of the carry: feed
+    # them pre-broadcast over the (TS, TL) tile dims
+    lam_b = jnp.broadcast_to(lam_pad[:, :, None, None], (M, S, _TS, _TL))
+
+    t5 = (nb, _TS, _TL)
+    ev = e.reshape((M, X) + t5)
+
+    def bspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    espec_f = bspec((1, X, 1, _TS, _TL), lambda b, m: (m, 0, b, 0, 0))
+    espec_b = bspec((1, X, 1, _TS, _TL),
+                    lambda b, m, nm=M: (nm - 1 - m, 0, b, 0, 0))
+    lspec_f = bspec((1, S, _TS, _TL), lambda b, m: (m, 0, 0, 0))
+    lspec_b = bspec((1, S, _TS, _TL),
+                    lambda b, m, nm=M: (jnp.maximum(nm - 2 - m, 0),
+                                        0, 0, 0))
+    ospec_f = bspec((1, X, 1, _TS, _TL), lambda b, m: (m, 0, b, 0, 0))
+    ospec_b = bspec((1, X, 1, _TS, _TL),
+                    lambda b, m, nm=M: (nm - 1 - m, 0, b, 0, 0))
+    fspec_f = bspec((1, NS, 1, _TS, _TL), lambda b, m: (m, 0, b, 0, 0))
+    fspec_b = bspec((1, NS, 1, _TS, _TL),
+                    lambda b, m, nm=M: (nm - 1 - m, 0, b, 0, 0))
+    scratch = [pltpu.VMEM((X, _TS, _TL), dtype),
+               pltpu.VMEM((NS, _TS, _TL), dtype)]
+    shape_x = jax.ShapeDtypeStruct((M, X) + t5, dtype)
+    shape_f = jax.ShapeDtypeStruct((M, NS) + t5, dtype)
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024)
+
+    fw_pre, fw_pre_f, fw_post, fw_post_f = pl.pallas_call(
+        functools.partial(_fbv2_fwd_kernel, NS=NS, S=S,
+                          evengen=float(cfg.evengen)),
+        grid=(nb, M),
+        in_specs=[espec_f, lspec_f],
+        out_specs=(ospec_f, fspec_f, ospec_f, fspec_f),
+        out_shape=(shape_x, shape_f, shape_x, shape_f),
+        compiler_params=cparams,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(ev, lam_b)
+
+    bw, bw_f = pl.pallas_call(
+        functools.partial(_fbv2_bwd_kernel, NS=NS, S=S, nm=M),
+        grid=(nb, M),
+        in_specs=[espec_b, lspec_b],
+        out_specs=(ospec_b, fspec_b),
+        out_shape=(shape_x, shape_f),
+        compiler_params=cparams,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(ev, lam_b)
+
+    def flat(x, lead):
+        return x.reshape(M, lead, R)
+
+    return FBv2(fw_pre=flat(fw_pre, X), fw_post=flat(fw_post, X),
+                bw=flat(bw, X), fw_pre_f=flat(fw_pre_f, NS),
+                fw_post_f=flat(fw_post_f, NS), bw_f=flat(bw_f, NS))
+
+
+# ---------------------------------------------------------------------------
+# Fused turn-weight kernel: posterior-weighted xor-correlation at the 128
+# turn offsets, one pass over (m, b-tile) blocks.  The XLA form reads and
+# writes ~6 GB of [M, X, R] intermediates per chromosome (weighted
+# sweeps, three WHT transforms, offset gather, log ratios); here the
+# whole chain runs in VMEM per tile with butterfly FWHTs on the leading
+# (vreg-index) axes, so HBM traffic is just fw_post + bw in and [M, T, R]
+# out.
+# ---------------------------------------------------------------------------
+def _fwht_lead(x, axis: int, n: int):
+    """In-register FWHT along a leading axis of length n (power of 2);
+    all reshapes/stacks act on vreg-index dims, no lane movement."""
+    for k in range(n.bit_length() - 1):
+        h = 1 << k
+        pre = x.shape[:axis]
+        post = x.shape[axis + 1:]
+        v = x.reshape(pre + (n // (2 * h), 2, h) + post)
+        ix = (slice(None),) * (axis + 1)
+        a = v[ix + (0,)]
+        b = v[ix + (1,)]
+        x = jnp.stack([a + b, a - b], axis=axis + 1).reshape(
+            pre + (n,) + post)
+    return x
+
+
+def _turn_kernel(fwp_ref, bw_ref, fwf_ref, bwf_ref, sh_ref, w_ref, *,
+                 idx, NS, S):
+    T = (_TS, _TL)
+    dtype = w_ref.dtype
+    fw = fwp_ref[:].reshape((NS, S) + T)
+    bw = bw_ref[:].reshape((NS, S) + T)
+    ff = fwf_ref[:].reshape((NS,) + T)
+    bf = bwf_ref[:].reshape((NS,) + T)
+    sh = sh_ref[:].reshape(T)
+
+    n_iota = jax.lax.broadcasted_iota(jnp.int32, (NS,) + T, 0)
+    allowed = (n_iota & sh) == 0
+    big = jnp.asarray(-1e38, dtype=dtype)
+    ffm = jnp.max(jnp.where(allowed, ff, big), axis=0)
+    fexp = jnp.where(allowed, jnp.exp(ff - ffm), 0.0)
+    bfm = jnp.max(bf, axis=0)
+    bexp = jnp.exp(bf - bfm)
+
+    f = fw * fexp[:, None]
+    b = bw * bexp[:, None]
+    f = _fwht_lead(_fwht_lead(f, 0, NS), 1, S)
+    b = _fwht_lead(_fwht_lead(b, 0, NS), 1, S)
+    D = _fwht_lead(_fwht_lead(f * b, 0, NS), 1, S) * (1.0 / (NS * S))
+
+    vals = jnp.stack([D[i // S, i % S] for i in idx], axis=0)
+    tiny = jnp.asarray(np.finfo(np.dtype(str(dtype))).tiny, dtype=dtype)
+    logv = jnp.log(jnp.maximum(vals, tiny))
+    ok = vals > 0
+    w = jnp.where(ok & ok[0:1], logv - logv[0:1], MINFACTOR)
+    w_ref[:] = w.reshape(w_ref.shape)
+
+
+def turn_weights_v2_pallas(fb2: FBv2, sh: jnp.ndarray,
+                           descendants: jnp.ndarray, cfg: ModelConfig,
+                           B: int, total_desc_scale: bool = True,
+                           interpret: bool = False) -> jnp.ndarray:
+    """turn_weights_v2 as one fused Pallas pass (same outputs)."""
+    M, X, R = fb2.fw_post.shape
+    S, NS = cfg.numtypes, cfg.numshifts
+    nb = R // _TN
+    dtype = fb2.fw_post.dtype
+    idx = tuple(int(cfg.turn_shift_flip(t)) * S +
+                (t & cfg.turn_state_mask) for t in range(cfg.numturns))
+    Tn = cfg.numturns
+    t5 = (nb, _TS, _TL)
+
+    def bspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    w = pl.pallas_call(
+        functools.partial(_turn_kernel, idx=idx, NS=NS, S=S),
+        grid=(M, nb),
+        in_specs=[
+            bspec((1, X, 1, _TS, _TL), lambda m, b: (m, 0, b, 0, 0)),
+            bspec((1, X, 1, _TS, _TL), lambda m, b: (m, 0, b, 0, 0)),
+            bspec((1, NS, 1, _TS, _TL), lambda m, b: (m, 0, b, 0, 0)),
+            bspec((1, NS, 1, _TS, _TL), lambda m, b: (m, 0, b, 0, 0)),
+            bspec((1, _TS, _TL), lambda m, b: (b, 0, 0)),
+        ],
+        out_specs=bspec((1, Tn, 1, _TS, _TL), lambda m, b: (m, 0, b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, Tn, nb, _TS, _TL), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(fb2.fw_post.reshape((M, X) + t5), fb2.bw.reshape((M, X) + t5),
+      fb2.fw_post_f.reshape((M, NS) + t5),
+      fb2.bw_f.reshape((M, NS) + t5), sh)
+
+    w = jnp.transpose(w.reshape(M, Tn, R)[:, :, :B], (2, 0, 1))
     if total_desc_scale:
         w = w * descendants[:, None, None]
     return w
@@ -406,13 +669,32 @@ def chromosome_scan_v2(fb: FamilyBatch, dists: jnp.ndarray,
     st = prep_slots(fb, dtype)
     R = st.nb * _TN
     e = emission_tiles(st, M, cfg, dtype=dtype, interpret=interpret)
-    fb2 = fb_scan_v2(e.reshape(M, NS * S, R), dists, cfg, params,
-                     ratemat=ratemat)
+    import os
+    env = os.environ.get("CNF2FREQ_FBV2_PALLAS")
+    use_fb_kernel = (env not in ("0", "false", "") if env is not None
+                     else not interpret)
+    if use_fb_kernel:
+        # fused sweeps: carry in VMEM, butterfly-FWHT transitions in
+        # full f32 (the XLA einsum transition rounds through bf16 on
+        # the MXU); ~2x on v5e
+        fb2 = fb_sweeps_v2_pallas(e.reshape(M, NS * S, R), dists, cfg,
+                                  params, ratemat=ratemat,
+                                  interpret=interpret)
+    else:
+        fb2 = fb_scan_v2(e.reshape(M, NS * S, R), dists, cfg, params,
+                         ratemat=ratemat)
     total_r = combined_loglik_v2(fb2, st.sh)
     b12, accum, pair = stats_from_v2(st, fb2, total_r, M, B, cfg, dtype,
                                      interpret=interpret)
-    turn_w = turn_weights_v2(fb2, st.sh, fb.descendants.astype(dtype),
-                             cfg, B)
+    if interpret:
+        turn_w = turn_weights_v2(fb2, st.sh, fb.descendants.astype(dtype),
+                                 cfg, B)
+    else:
+        # fused kernel: ~2x over the XLA chain on v5e (kernel-vs-XLA
+        # parity pinned by test_turn_weights_pallas_matches)
+        turn_w = turn_weights_v2_pallas(fb2, st.sh,
+                                        fb.descendants.astype(dtype),
+                                        cfg, B)
     hmask = haplo_update_mask(fb, cfg)
 
     def to_std(x):      # [M, X, R] -> [B, M, NS, S]

@@ -127,6 +127,39 @@ def test_stats_and_turns_v2_match_probes():
     assert np.array_equal(finite, np.isfinite(tw) & (tw > -1e14))
 
 
+def test_fb_sweeps_pallas_matches():
+    """The fused v2 fb kernel == fb_scan_v2 (XLA scan)."""
+    fbj, dists, cfg, params = _setup(B=5, M=8, seed=7)
+    dtype = jnp.float64
+    M = fbj.md.shape[2]
+    st = v2.prep_slots(fbj, dtype)
+    R = st.nb * 8 * 128
+    e = v2.emission_tiles(st, M, cfg, dtype=dtype,
+                          interpret=True).reshape(M, 512, R)
+    ref = v2.fb_scan_v2(e, dists, cfg, params)
+    got = v2.fb_sweeps_v2_pallas(e, dists, cfg, params, interpret=True)
+    for name in ref._fields:
+        np.testing.assert_allclose(np.asarray(getattr(got, name)),
+                                   np.asarray(getattr(ref, name)),
+                                   rtol=1e-9, atol=1e-12, err_msg=name)
+
+
+def test_turn_weights_pallas_matches():
+    """The fused turn-weight kernel == turn_weights_v2 (XLA form)."""
+    fbj, dists, cfg, params = _setup(B=6, M=9, seed=3)
+    dtype = jnp.float64
+    B = fbj.md.shape[0]
+    st, _, fb2, _ = _v2_pipeline(fbj, dists, cfg, params, dtype)
+    desc = fbj.descendants.astype(dtype)
+    ref = np.asarray(v2.turn_weights_v2(fb2, st.sh, desc, cfg, B))
+    got = np.asarray(v2.turn_weights_v2_pallas(fb2, st.sh, desc, cfg, B,
+                                               interpret=True))
+    finite = ref > -1e14
+    np.testing.assert_allclose(got[finite], ref[finite], rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_array_equal(finite, got > -1e14)
+
+
 def test_engine_scan_v2_path_matches():
     """chromosome_scan(use_scan_v2=True) agrees with the standard path."""
     from cnf2freq_tpu.engine import chromosome_scan
