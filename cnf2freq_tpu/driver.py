@@ -20,11 +20,8 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from .config import ModelConfig, RuntimeParams, SEXMARKER, UNKNOWN
-from .hmm.emission import assemble_e_all, build_blocks
+from .hmm.emission import build_blocks
 from .hmm.family import gather_family
-from .hmm.forward_backward import combined_loglik, forward_backward
-from .hmm.probes import (haplo_stats, infprob_stats, posterior_weight,
-                         turn_scores)
 from .pedigree import Pedigree
 from .updates import relskew_ratio
 from .updates.phaseflip import (FlipCandidate, apply_flips,
@@ -68,6 +65,12 @@ class Driver:
         # Stream analysis units through the device in chunks of this size
         # (None = whole cohort in one scan); bounds HBM for large cohorts.
         self.batch_size = None
+        # Pad each chromosome's marker axis up to a multiple of this, so
+        # chromosomes of similar length share one compiled scan (inert
+        # trailing markers — the reference's dummy-marker trick,
+        # demo.sh:22-23 — cost nothing but avoid a multi-minute compile
+        # per distinct length).  None disables.
+        self.marker_bucket = 64
         # Flip-solver budget: at most this many top-gain markers get a
         # joint solve per chromosome per iteration.
         self.max_flip_markers = 16
@@ -457,15 +460,18 @@ class Driver:
             for n in dous:
                 ped.by_id(n).lastinved[c] = -1
             scan_fn, coh_fn = self._jitted_scan_merged(NI)
+            Mc = hi - lo
+            Mp = Mc if not self.marker_bucket else \
+                -(-Mc // self.marker_bucket) * self.marker_bucket
             dists = np.diff(ped.markerposes[lo:hi]).astype(self.dtype)
-            dj = jnp.asarray(dists)
+            dj = jnp.asarray(np.pad(dists, (0, Mp - Mc)))
             # per-interval per-bit map rates: carries re-estimated
             # genetic-map rates (remap_distances -> ped.actrec) into
             # every subsequent scan
             from .hmm.transition import rate_matrix
-            rj = jnp.asarray(rate_matrix(self.cfg, self.params,
-                                         hi - lo - 1, ped.actrec, lo,
-                                         dtype=self.dtype))
+            rm = rate_matrix(self.cfg, self.params, Mc - 1, ped.actrec,
+                             lo, dtype=self.dtype)
+            rj = jnp.asarray(np.pad(rm, ((0, Mp - Mc), (0, 0))))
 
             # analysis units stream through the device in fixed-size
             # chunks: one compiled program, bounded HBM at any cohort size
@@ -476,6 +482,9 @@ class Driver:
                 with self.tracer.span("gather"):
                     fbatch = gather_family(ped, chunk, lo, hi - 1,
                                            dtype=self.dtype)
+                    if Mp > Mc:
+                        from .parallel.mesh import pad_markers
+                        fbatch = pad_markers(fbatch, Mp)
                     if len(chunk) < bs:
                         from .parallel.mesh import pad_batch
                         fbatch = pad_batch(fbatch, bs)
@@ -489,17 +498,17 @@ class Driver:
                 with self.tracer.span("scatter"):
                     sb = fbatch.slot_ind[:nb]
                     desc = fbatch.descendants[:nb].astype(np.float64)
-                    self._store_pair_tables(chunk, lo,
-                                            np.asarray(res.pair)[:nb])
+                    self._store_pair_tables(
+                        chunk, lo, np.asarray(res.pair)[:nb, :Mc])
                     # accumulators were merged on device (segment-sum per
                     # individual row, engine.make_jitted_scan_merged);
                     # only [NI, M]-shaped partials cross the host link
-                    haplobase[:, lo:hi] += np.asarray(hb_p,
-                                                      dtype=np.float64)
-                    haplocount[:, lo:hi] += np.asarray(hc_p,
-                                                       dtype=np.float64)
-                    infacc[:, lo:hi] += np.asarray(inf_p,
-                                                   dtype=np.float64)
+                    haplobase[:, lo:hi] += np.asarray(
+                        hb_p, dtype=np.float64)[:, :Mc]
+                    haplocount[:, lo:hi] += np.asarray(
+                        hc_p, dtype=np.float64)[:, :Mc]
+                    infacc[:, lo:hi] += np.asarray(
+                        inf_p, dtype=np.float64)[:, :Mc]
                 if self.remap_distances:
                     self._update_genetic_map(lo, hi, fbj, dj, res, rj)
                 if self.adaptive_relhaplo and self.cfg.relskews:
@@ -513,13 +522,13 @@ class Driver:
                                               res.fw_pre_f, res.bw_f, slot,
                                               ratemat=rj))
                             for slot in range(self.cfg.numslots)], axis=-1)
-                        scatter_coherence(sb, desc, lo, coh[:nb],
+                        scatter_coherence(sb, desc, lo, coh[:nb, :Mc],
                                           coh_num, coh_den, ind_index)
                 if not early:
                     # native mode keeps the [nb, M, T] chunks ON DEVICE:
                     # the flip scorer consumes them there and only [B, k]
                     # top-marker slices cross the host link
-                    weight_parts.append(res.turn_weight[:nb])
+                    weight_parts.append(res.turn_weight[:nb, :Mc])
 
             if not early:
                 with self.tracer.span("flips"):
@@ -601,7 +610,7 @@ class Driver:
                                                        self.params)
         p = np.asarray(self._scan_cache[key](
             fbj, dj, res.fw_pre, res.bw, res.fw_pre_f, res.bw_f,
-            ratemat=rj))
+            ratemat=rj))[:, :hi - lo - 1]   # drop marker-bucket padding
         # [B, M-1, typebits] -> per-sex interval means over individuals
         sexes = np.asarray(self.cfg.typesexes)
         ped = self.ped
@@ -869,21 +878,29 @@ class Driver:
         tabs = {n: np.zeros((M, 3)) for n in dous}
         for c in range(ped.num_chromosomes):
             lo, hi = ped.chromosome_range(c)
-            dists = np.diff(ped.markerposes[lo:hi]).astype(self.dtype)
-            rm = rate_matrix(self.cfg, self.params, hi - lo - 1,
-                             ped.actrec, lo, dtype=self.dtype)
+            Mc = hi - lo
+            Mp = Mc if not self.marker_bucket else \
+                -(-Mc // self.marker_bucket) * self.marker_bucket
+            dists = np.pad(np.diff(ped.markerposes[lo:hi]).astype(
+                self.dtype), (0, Mp - Mc))
+            rm = np.pad(rate_matrix(self.cfg, self.params, Mc - 1,
+                                    ped.actrec, lo, dtype=self.dtype),
+                        ((0, Mp - Mc), (0, 0)))
             bs = self.batch_size or len(dous)
             for b0 in range(0, len(dous), bs):
                 chunk = dous[b0:b0 + bs]
                 fbatch = gather_family(ped, chunk, lo, hi - 1,
                                        dtype=self.dtype)
+                if Mp > Mc:
+                    from .parallel.mesh import pad_markers
+                    fbatch = pad_markers(fbatch, Mp)
                 if len(chunk) < bs:
                     from .parallel.mesh import pad_batch
                     fbatch = pad_batch(fbatch, bs)
                 P = np.asarray(fn(fbatch.map(jnp.asarray),
                                   jnp.asarray(dists), jnp.asarray(rm)))
                 for i, n in enumerate(chunk):
-                    tabs[n][lo:hi] = P[i]
+                    tabs[n][lo:hi] = P[i, :Mc]
         return tabs
 
     def _adapt_scalefactor(self, any_inv: bool, hitnnn: int, ndous: int):

@@ -62,6 +62,28 @@ def pad_batch(fb: FamilyBatch, multiple: int) -> FamilyBatch:
     return out
 
 
+def pad_markers(fb: FamilyBatch, m_target: int) -> FamilyBatch:
+    """Pad the marker axis to m_target with inert trailing markers
+    (all-unknown genotypes, zero error, neutral phase weight) — the
+    tensor form of the reference's mandatory trailing dummy marker
+    (demo.sh:22-23).  With zero inter-marker distance the transition is
+    the identity and the padded emissions are state-constant, so real
+    markers' posteriors are unchanged; callers slice results back to
+    the real length."""
+    M = fb.num_markers
+    pad = m_target - M
+    if pad <= 0:
+        return fb
+    import dataclasses
+
+    def padm(x, val):
+        widths = [(0, 0), (0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 3)
+        return np.pad(np.asarray(x), widths, constant_values=val)
+
+    return dataclasses.replace(
+        fb, md=padm(fb.md, 0), ms=padm(fb.ms, 0.0), hw=padm(fb.hw, 0.5))
+
+
 def shard_batch(fb: FamilyBatch, mesh: Mesh) -> FamilyBatch:
     sh = batch_sharding(mesh)
     return fb.map(lambda x: jax.device_put(jnp.asarray(x), sh))

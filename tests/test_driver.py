@@ -250,3 +250,25 @@ def test_line_origin_tables_driver():
         assert (t >= -1e-9).all()
         s = t.sum(axis=1)
         assert np.allclose(s[s > 0], 1.0, atol=1e-6)
+
+
+def test_marker_bucket_neutral():
+    """Marker-bucket padding must not change any result: a full
+    iteration with padding to 16 equals one with padding disabled."""
+    peds = [simulate_f2(n_f2=6, n_markers=9, missing_rate=0.2,
+                        error_rate=0.02, seed=13) for _ in range(2)]
+    drvs = [Driver(peds[0]), Driver(peds[1])]
+    drvs[0].marker_bucket = 16
+    drvs[1].marker_bucket = None
+    for d in drvs:
+        d.preprocess()
+        d.iterate(early=False)
+    for a, b in zip(peds[0].inds[1:], peds[1].inds[1:]):
+        np.testing.assert_allclose(a.haploweight, b.haploweight,
+                                   rtol=1e-9, atol=1e-12,
+                                   err_msg=a.name)
+        np.testing.assert_array_equal(a.markerdata, b.markerdata)
+    for n in peds[0].dous:
+        np.testing.assert_allclose(drvs[0].pair_tables[n],
+                                   drvs[1].pair_tables[n],
+                                   rtol=1e-8, atol=1e-11)
