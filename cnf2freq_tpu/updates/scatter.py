@@ -25,7 +25,10 @@ _MOVEHAPLO_TINY = math.exp(-400) * 5e-6 * 5e-6 * 0.5  # cnF2freq.cpp:3605
 
 
 def _id_lut(ind_index: dict, max_id: int) -> np.ndarray:
-    lut = np.zeros(max_id + 1, dtype=np.int64)
+    # size by the full registry, not just this chunk's ids: a streamed
+    # chunk may not contain the highest-id individual
+    size = max(max_id, max(ind_index) if ind_index else 0) + 1
+    lut = np.zeros(size, dtype=np.int64)
     for n, i in ind_index.items():
         lut[n] = i
     return lut

@@ -272,3 +272,45 @@ def test_marker_bucket_neutral():
         np.testing.assert_allclose(drvs[0].pair_tables[n],
                                    drvs[1].pair_tables[n],
                                    rtol=1e-8, atol=1e-11)
+
+
+def test_batch_streaming_neutral():
+    """Chunked cohort streaming (batch_size) must match the single-scan
+    path exactly, including the ragged final chunk's batch padding."""
+    peds = [simulate_f2(n_f2=7, n_markers=6, missing_rate=0.2,
+                        error_rate=0.02, seed=17) for _ in range(2)]
+    drvs = [Driver(peds[0]), Driver(peds[1])]
+    drvs[0].batch_size = 3          # chunks of 3 + 3 + 1
+    for d in drvs:
+        d.preprocess()
+        d.iterate(early=False)
+    for a, b in zip(peds[0].inds[1:], peds[1].inds[1:]):
+        np.testing.assert_allclose(a.haploweight, b.haploweight,
+                                   rtol=1e-9, atol=1e-12, err_msg=a.name)
+        np.testing.assert_array_equal(a.markerdata, b.markerdata)
+    for n in peds[0].dous:
+        np.testing.assert_allclose(drvs[0].pair_tables[n],
+                                   drvs[1].pair_tables[n],
+                                   rtol=1e-8, atol=1e-11)
+
+
+def test_driver_scan_v2_interpret():
+    """The full production configuration — v2 scan pipeline with the
+    Pallas kernels (interpret mode on CPU), device merge, flip scorer —
+    drives one iteration end to end."""
+    import os
+
+    os.environ["CNF2FREQ_SCAN_V2"] = "1"
+    try:
+        ped = simulate_f2(n_f2=3, n_markers=5, missing_rate=0.2, seed=2)
+        drv = Driver(ped)
+        drv.marker_bucket = 8
+        drv.preprocess()
+        info = drv.iterate(early=False)
+        assert np.isfinite(info["scalefactor"])
+        for n in ped.dous:
+            tab = drv.pair_tables[n]
+            assert tab.shape == (5, 2, 2)
+            assert np.isfinite(tab).all() and (tab >= 0).all()
+    finally:
+        del os.environ["CNF2FREQ_SCAN_V2"]
