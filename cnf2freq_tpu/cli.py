@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--capmarker", type=int, default=None,
                    help="limit marker count")
     p.add_argument("--dump", help="haplotype dump file (default stdout)")
+    p.add_argument("--checkpoint", help="checkpoint file: the state dump "
+                   "is written here (atomic rename) after every "
+                   "iteration, and restored from it at startup when the "
+                   "file exists — kill/resume-safe long runs")
     p.add_argument("--flipmode", choices=("native", "negshift"),
                    default="native",
                    help="phase-flip optimizer: joint per-marker solver "
@@ -159,6 +163,13 @@ def main(argv=None) -> int:
             sw = deserialize(ped, f)
         for n, s in sw.items():
             print(f"Switches {n} {ped.by_id(n).name}\t{s}")
+    elif args.checkpoint:
+        import os as _os
+        if _os.path.exists(args.checkpoint):
+            with open(args.checkpoint) as f:
+                deserialize(ped, f)
+            print(f"resumed from checkpoint {args.checkpoint}",
+                  file=sys.stderr)
 
     if args.outputpedfile:
         output_ped(ped, args.outputpedfile)
@@ -172,6 +183,12 @@ def main(argv=None) -> int:
                   f"inverted={info['inverted']} "
                   f"scalefactor={info['scalefactor']:.6f}", file=sys.stderr)
         write_haplotype_dump(ped, dump_out)
+        if args.checkpoint:
+            import os as _os
+            tmp = args.checkpoint + ".tmp"
+            with open(tmp, "w") as f:
+                write_haplotype_dump(ped, f, reset_negshift=False)
+            _os.replace(tmp, args.checkpoint)
     if args.dump:
         dump_out.close()
 
