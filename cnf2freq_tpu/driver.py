@@ -47,6 +47,11 @@ class Driver:
                  dtype=np.float64):
         self.ped = ped
         self.cfg: ModelConfig = ped.config
+        if self.cfg.selfing or self.cfg.relskewstates:
+            raise NotImplementedError(
+                "the iteration driver runs the standard state space; for "
+                "the SELFING / RELSKEWSTATES families use the analysis "
+                "scans in models.selfing / models.relskew_states")
         self.params = params or RuntimeParams()
         self.state = DriverState(scalefactor=self.params.scalefactor)
         self.dtype = dtype

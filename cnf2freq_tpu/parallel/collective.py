@@ -142,3 +142,32 @@ def sharded_scan_and_merge(fb: FamilyBatch, dists, cfg, params, mesh: Mesh,
     with mesh:
         return step(fb, jax.device_put(jnp.asarray(dists),
                                        NamedSharding(mesh, P())))
+
+
+def make_sharded_scan_merged(cfg, params, mesh: Mesh,
+                             num_individuals: int):
+    """The production scan+merge step under shard_map: each shard runs
+    the full single-chip program (including its Pallas kernels — legal
+    per shard, unlike pallas under bare GSPMD) on its slice of the
+    cohort, then psum completes the per-individual accumulator merge
+    over the data axis.  The multi-chip form of
+    engine.make_jitted_scan_merged; per-shard parity pinned by
+    tests/test_scatter.py."""
+    from ..engine import chromosome_scan
+
+    def step(fb, dists, lut, ratemat):
+        res = chromosome_scan(fb, dists, cfg, params, ratemat=ratemat)
+        hb, hc = merge_haplos(res.haplo_b12, res.haplo_mask, fb.hw,
+                              fb.slot_ind, fb.descendants, lut,
+                              num_individuals, axis_name="data")
+        inf = merge_infprobs(res.inf_accum, fb.slot_ind, fb.descendants,
+                             lut, num_individuals, axis_name="data")
+        return (res.total, res.pair, res.turn_weight, hb, hc, inf)
+
+    fb_spec = P("data")
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(fb_spec, P(), P(), P()),
+        out_specs=(P("data"), P("data"), P("data"), P(), P(), P()),
+        check_vma=False)
+    return jax.jit(sharded)

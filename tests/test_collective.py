@@ -87,3 +87,62 @@ def test_merge_accumulates_shared_parents():
     shared = [sid for sid in slot_ind[0] if sid > 0 and
               sid in slot_ind[1]]
     assert shared
+
+
+def test_sharded_scan_merged_matches_single_device():
+    """The shard_map production step (per-shard scan + psum merge) equals
+    the single-device merged scan on a 4-way data mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnf2freq_tpu.config import ModelConfig, RuntimeParams
+    from cnf2freq_tpu.engine import make_jitted_scan_merged
+    from cnf2freq_tpu.hmm.family import gather_family
+    from cnf2freq_tpu.hmm.transition import rate_matrix
+    from cnf2freq_tpu.parallel import make_mesh
+    from cnf2freq_tpu.parallel.collective import make_sharded_scan_merged
+    from cnf2freq_tpu.utils import simulate_f2
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs the virtual CPU mesh")
+
+    ped = simulate_f2(n_f2=8, n_markers=7, seed=5)
+    for ind in ped.inds[1:]:
+        ped.fixtrees(ind.n)
+    ped.count_descendants()
+    cfg, params = ModelConfig(), RuntimeParams()
+    ids = [ind.n for ind in ped.inds[1:]]
+    NI = len(ids)
+    lut = np.full(max(ids) + 1, NI, dtype=np.int32)
+    for i, n in enumerate(ids):
+        lut[n] = i
+    fb = gather_family(ped, ped.dous, 0, ped.num_markers - 1)
+    fbj = fb.map(jnp.asarray)
+    dj = jnp.asarray(np.diff(ped.markerposes))
+    rj = jnp.asarray(rate_matrix(cfg, params, ped.num_markers - 1))
+    lutj = jnp.asarray(lut)
+
+    ref_res, ref_hb, ref_hc, ref_inf = make_jitted_scan_merged(
+        cfg, params, NI)(fbj, dj, lutj, rj)
+
+    mesh = make_mesh(4)
+    fn = make_sharded_scan_merged(cfg, params, mesh, NI)
+    with mesh:
+        total, pair, turn, hb, hc, inf = fn(fbj, dj, lutj, rj)
+
+    np.testing.assert_allclose(np.asarray(total), np.asarray(ref_res.total),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pair), np.asarray(ref_res.pair),
+                               rtol=1e-9, atol=1e-12)
+    tw, rtw = np.asarray(turn), np.asarray(ref_res.turn_weight)
+    finite = rtw > -1e14
+    np.testing.assert_allclose(tw[finite], rtw[finite], rtol=1e-7,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(hb), np.asarray(ref_hb),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(hc), np.asarray(ref_hc),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(inf), np.asarray(ref_inf),
+                               rtol=1e-9, atol=1e-12)

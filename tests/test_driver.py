@@ -314,3 +314,18 @@ def test_driver_scan_v2_interpret():
             assert np.isfinite(tab).all() and (tab >= 0).all()
     finally:
         del os.environ["CNF2FREQ_SCAN_V2"]
+
+
+def test_driver_rejects_extended_state_spaces():
+    """SELFING / RELSKEWSTATES configs must not silently run the
+    standard engine (their analysis scans live in models/)."""
+    import dataclasses
+
+    import pytest
+
+    from cnf2freq_tpu.config import ModelConfig
+
+    ped = simulate_f2(n_f2=3, n_markers=4, seed=1)
+    ped.config = dataclasses.replace(ped.config, selfing=True)
+    with pytest.raises(NotImplementedError):
+        Driver(ped)
