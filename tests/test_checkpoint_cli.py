@@ -33,3 +33,42 @@ def test_checkpoint_roundtrip(tmp_path, capsys):
     vals = np.array([[float(v) for v in r.split("\t")]
                      for r in open(out2) if "\t" in r])
     np.testing.assert_allclose(vals.sum(axis=1), 1.0, atol=2e-5)
+
+
+GIGI_MAP = """\
+1 m1 0.0 0
+1 m2 12.5 0
+1 m3 30.0 0
+"""
+
+GIGI_PED = """\
+fam1 A 0 0 1 x 1 1 1 2 2 2
+fam1 B 0 0 2 x 1 2 1 1 2 1
+fam1 C A B 1 x 1 1 0 0 2 2
+"""
+
+
+def test_cli_merlin_route(tmp_path):
+    """--merlinmap/--merlinped route end to end through the driver."""
+    rc = main(["--merlinmap", "/root/reference/halfsibdemo.map",
+               "--merlinped", "/root/reference/halfsibdemo.ped",
+               "--count", "2", "--dump", str(tmp_path / "d"),
+               "--output", str(tmp_path / "o")])
+    assert rc == 0
+    assert os.path.getsize(tmp_path / "o") > 0
+
+
+def test_cli_gigi_route(tmp_path):
+    """--gigimapfile/--gigipedfile route, with line-origin output."""
+    mp, pp = tmp_path / "g.map", tmp_path / "g.ped"
+    mp.write_text(GIGI_MAP)
+    pp.write_text(GIGI_PED)
+    lo = tmp_path / "lo"
+    rc = main(["--gigimapfile", str(mp), "--gigipedfile", str(pp),
+               "--count", "2", "--dump", str(tmp_path / "d"),
+               "--output", str(tmp_path / "o"), "--lineorigin", str(lo)])
+    assert rc == 0
+    rows = [r for r in open(lo) if "\t" in r]
+    assert len(rows) == 3 * 3          # 3 analysis inds x 3 markers
+    vals = np.array([[float(v) for v in r.split("\t")] for r in rows])
+    np.testing.assert_allclose(vals.sum(axis=1), 1.0, atol=1e-4)
