@@ -630,7 +630,7 @@ def stats_from_v2(st: SlotTensors, fb2: FBv2, total: jnp.ndarray,
             jax.ShapeDtypeStruct((4, nt, _TS, _TL), dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),   # tiles are independent
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(st.md, st.ms, st.hw, st.ex, st.at, st.f2, st.sh,

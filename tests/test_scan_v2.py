@@ -144,6 +144,28 @@ def test_fb_sweeps_pallas_matches():
                                    rtol=1e-9, atol=1e-12, err_msg=name)
 
 
+def test_fb_sweeps_pallas_single_marker():
+    """M=1 edge: the backward sweep is pure initial state, the forward
+    transition uses the padded identity eigenvalues."""
+    import dataclasses
+
+    fbj, dists, cfg, params = _setup(B=4, M=7, seed=5)
+    dtype = jnp.float64
+    fb1 = dataclasses.replace(fbj, md=fbj.md[:, :, :1],
+                              ms=fbj.ms[:, :, :1], hw=fbj.hw[:, :, :1])
+    st = v2.prep_slots(fb1, dtype)
+    R = st.nb * 8 * 128
+    e = v2.emission_tiles(st, 1, cfg, dtype=dtype,
+                          interpret=True).reshape(1, 512, R)
+    d1 = dists[:0]
+    ref = v2.fb_scan_v2(e, d1, cfg, params)
+    got = v2.fb_sweeps_v2_pallas(e, d1, cfg, params, interpret=True)
+    for name in ref._fields:
+        np.testing.assert_allclose(np.asarray(getattr(got, name)),
+                                   np.asarray(getattr(ref, name)),
+                                   rtol=1e-12, atol=1e-15, err_msg=name)
+
+
 def test_turn_weights_pallas_matches():
     """The fused turn-weight kernel == turn_weights_v2 (XLA form)."""
     fbj, dists, cfg, params = _setup(B=6, M=9, seed=3)
