@@ -68,8 +68,13 @@ class Driver:
         # per-sex per-interval rates).
         self.remap_distances = False
         # Stream analysis units through the device in chunks of this size
-        # (None = whole cohort in one scan); bounds HBM for large cohorts.
-        self.batch_size = None
+        # ("auto" = size chunks to hbm_budget_bytes; None = whole cohort
+        # in one scan); bounds HBM for large cohorts.
+        self.batch_size = "auto"
+        # Device-memory budget the auto chunk size targets.  The scan's
+        # big tensors are ~6 copies of [B, M, 512] f32 (emissions, three
+        # sweep stores, turn weights, scratch headroom).
+        self.hbm_budget_bytes = 10 * 1024 ** 3
         # Pad each chromosome's marker axis up to a multiple of this, so
         # chromosomes of similar length share one compiled scan (inert
         # trailing markers — the reference's dummy-marker trick,
@@ -107,6 +112,20 @@ class Driver:
                                         num_individuals),
                 make_jitted_coherence(self.cfg, self.params))
         return self._scan_cache[key]
+
+    def _chunk_size(self, n_units: int, m_markers: int) -> int:
+        """Resolve batch_size: explicit int, None (whole cohort), or
+        "auto" — the largest multiple of 512 units whose scan working
+        set (~6 x [B, M, 512] f32 tensors) fits hbm_budget_bytes."""
+        if self.batch_size is None:
+            return n_units
+        if self.batch_size != "auto":
+            return int(self.batch_size)
+        per_unit = 6 * m_markers * 512 * 4
+        bs = max(1, self.hbm_budget_bytes // per_unit)
+        if bs >= n_units:
+            return n_units
+        return max(512, (bs // 512) * 512)
 
     def _jitted_updates(self):
         key = ("param_updates",)
@@ -480,7 +499,7 @@ class Driver:
 
             # analysis units stream through the device in fixed-size
             # chunks: one compiled program, bounded HBM at any cohort size
-            bs = self.batch_size or len(dous)
+            bs = self._chunk_size(len(dous), Mp)
             weight_parts = []
             for b0 in range(0, len(dous), bs):
                 chunk = dous[b0:b0 + bs]
@@ -891,7 +910,7 @@ class Driver:
             rm = np.pad(rate_matrix(self.cfg, self.params, Mc - 1,
                                     ped.actrec, lo, dtype=self.dtype),
                         ((0, Mp - Mc), (0, 0)))
-            bs = self.batch_size or len(dous)
+            bs = self._chunk_size(len(dous), Mp)
             for b0 in range(0, len(dous), bs):
                 chunk = dous[b0:b0 + bs]
                 fbatch = gather_family(ped, chunk, lo, hi - 1,
