@@ -14,17 +14,25 @@ This module replaces the data layout end to end:
       |   scalars per (b, m) — nothing bigger than E ever exists
       v
     e  [M, X=512, R]              (feature-leading, batch on lanes)
-      | fb_scan_v2 (lax.scan): carry [X, R]; transition = batched
-      |   [64, 64] @ [64, R] MXU matmuls; zero layout padding
+      | fb_sweeps_v2_pallas (Pallas, TPU default): carry in VMEM
+      |   across the marker grid, butterfly-FWHT transitions in full
+      |   f32; fb_scan_v2 (lax.scan) is the XLA fallback/spec
       v
     fw_pre/bw [M, X, R], factors [M, NS, R]
       | stats kernel reads (m, b-tile) blocks straight out of the scan
-      |   outputs via BlockSpec index maps — no transposes at all
+      |   outputs via BlockSpec index maps — no transposes at all;
+      | turn_weights_v2_pallas: weighted xor-correlation at the 128
+      |   turn offsets in one fused pass
       v
     b12 / infprob accum / pair / turn weights
 
-Same update statistics as engine.chromosome_scan to f32 accumulation
-order (pinned by tests/test_scan_v2.py).
+Same update statistics as engine.chromosome_scan (pinned by
+tests/test_scan_v2.py; the Pallas forms are exact against the XLA
+forms in f64 interpret mode).  See docs/PERFORMANCE.md for the
+traffic analysis behind the kernel choices; the linear-memory /
+temporal-parallel HMM literature (PAPERS.md) motivates the stored
+fw/bw + per-marker factor scheme and the marker-axis blocking left as
+future work for extreme chromosome lengths.
 """
 
 from __future__ import annotations
