@@ -51,7 +51,31 @@ def cpu_baseline_rate() -> float:
         return 1400.0
 
 
+def _check_tunnel():
+    """Fail fast when the axon TPU tunnel is dead: jax backend init
+    would otherwise hang forever (observed during an infra outage).
+    Probe = one trivial device op in a timeout-bounded subprocess (the
+    claim releases when it exits, so the main process can proceed)."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "jnp.ones(2).sum().block_until_ready()"],
+            timeout=180, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print("# axon tunnel unresponsive (device probe timed out); "
+              "refusing to hang", file=sys.stderr)
+        sys.exit(3)
+    except subprocess.CalledProcessError as e:
+        print(f"# device probe failed: {e.stderr.decode()[-300:]}",
+              file=sys.stderr)
+        sys.exit(3)
+
+
 def main():
+    _check_tunnel()
     import jax
     import jax.numpy as jnp
 
