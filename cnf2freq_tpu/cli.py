@@ -176,12 +176,12 @@ def main(argv=None) -> int:
 
     dump_out = open(args.dump, "w") if args.dump else sys.stdout
     for i in range(args.count):
-        driver.state.early = i < 1
-        if not driver.state.early:
-            info = driver.iterate()
-            print(f"iter {i}: hitnnn={info['hitnnn']} "
-                  f"inverted={info['inverted']} "
-                  f"scalefactor={info['scalefactor']:.6f}", file=sys.stderr)
+        # the reference runs doit for every i, the first in "early" mode
+        # (no phase-flip moves, cnF2freq.cpp:231, 8127-8132)
+        info = driver.iterate(early=(i < 1))
+        print(f"iter {i}: hitnnn={info['hitnnn']} "
+              f"inverted={info['inverted']} "
+              f"scalefactor={info['scalefactor']:.6f}", file=sys.stderr)
         write_haplotype_dump(ped, dump_out)
         if args.checkpoint:
             import os as _os

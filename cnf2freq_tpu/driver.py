@@ -39,7 +39,6 @@ class DriverState:
     oldhitnnn: int = 0
     oldhitnnn2: int = 0
     iter: int = 0
-    early: bool = True
 
 
 class Driver:
@@ -115,17 +114,23 @@ class Driver:
 
     def _chunk_size(self, n_units: int, m_markers: int) -> int:
         """Resolve batch_size: explicit int, None (whole cohort), or
-        "auto" — the largest multiple of 512 units whose scan working
-        set (~6 x [B, M, 512] f32 tensors) fits hbm_budget_bytes."""
+        "auto" — the largest 1024-multiple of units whose scan working
+        set (~6 x [B, M, 512] tensors at the driver dtype) fits
+        hbm_budget_bytes.  1024 is the effective quantum: the v2
+        pipeline pads the lane axis to 8x128 tiles, so smaller chunks
+        cost the same memory.  Chromosomes long enough that even one
+        1024-unit tile exceeds the budget need marker-axis blocking
+        (future work) — the floor is returned and may overshoot."""
         if self.batch_size is None:
             return n_units
         if self.batch_size != "auto":
             return int(self.batch_size)
-        per_unit = 6 * m_markers * 512 * 4
-        bs = max(1, self.hbm_budget_bytes // per_unit)
+        itemsize = np.dtype(self.dtype).itemsize
+        per_unit = 6 * m_markers * 512 * itemsize
+        bs = int(self.hbm_budget_bytes // per_unit)
         if bs >= n_units:
             return n_units
-        return max(512, (bs // 512) * 512)
+        return max(1024, (bs // 1024) * 1024)
 
     def _jitted_updates(self):
         key = ("param_updates",)
@@ -501,6 +506,7 @@ class Driver:
             # chunks: one compiled program, bounded HBM at any cohort size
             bs = self._chunk_size(len(dous), Mp)
             weight_parts = []
+            remap_acc = (np.zeros((2, Mc - 1)), np.zeros(2, dtype=np.int64))
             for b0 in range(0, len(dous), bs):
                 chunk = dous[b0:b0 + bs]
                 with self.tracer.span("gather"):
@@ -534,7 +540,8 @@ class Driver:
                     infacc[:, lo:hi] += np.asarray(
                         inf_p, dtype=np.float64)[:, :Mc]
                 if self.remap_distances:
-                    self._update_genetic_map(lo, hi, fbj, dj, res, rj)
+                    self._accumulate_recomb(nb, Mc, fbj, dj, res, rj,
+                                            remap_acc)
                 if self.adaptive_relhaplo and self.cfg.relskews:
                     with self.tracer.span("coherence"):
                         from .updates.scatter import scatter_coherence
@@ -581,6 +588,8 @@ class Driver:
                                     ind_index)
             else:
                 winners.append(None)
+            if self.remap_distances:
+                self._apply_recomb(lo, hi, remap_acc)
 
         if self.adaptive_relhaplo and self.cfg.relskews:
             got = coh_den > 0
@@ -620,13 +629,10 @@ class Driver:
     # (movehaplos/moveinfprobs scatter live in updates/scatter.py as
     # batched numpy; loop-form parity pinned by tests/test_scatter.py)
 
-    def _update_genetic_map(self, lo, hi, fbj, dj, res, rj):
-        """EM update of per-sex per-interval recombination rates from the
-        posterior switch expectations (replaces the reference's
-        twicestop-probe machinery, cnF2freq.cpp:5586-5664, 6196-6230).
-        The updated ped.actrec feeds back into every later scan through
-        the rate_matrix argument of the jitted scan."""
-        import jax.numpy as jnp
+    def _accumulate_recomb(self, nb, Mc, fbj, dj, res, rj, acc):
+        """Per-chunk accumulation of posterior recombination expectations
+        (real rows and real intervals only): acc = (sum [2, Mc-1],
+        count [2])."""
         from .engine import make_jitted_recomb
         key = ("recomb", self.dtype)
         if key not in self._scan_cache:
@@ -634,17 +640,31 @@ class Driver:
                                                        self.params)
         p = np.asarray(self._scan_cache[key](
             fbj, dj, res.fw_pre, res.bw, res.fw_pre_f, res.bw_f,
-            ratemat=rj))[:, :hi - lo - 1]   # drop marker-bucket padding
-        # [B, M-1, typebits] -> per-sex interval means over individuals
+            ratemat=rj))[:nb, :Mc - 1]   # drop batch + marker padding
         sexes = np.asarray(self.cfg.typesexes)
+        sums, counts = acc
+        for sex in range(2):
+            sel = sexes == sex
+            sums[sex] += p[:, :, sel].sum(axis=(0, 2))
+            counts[sex] += nb * int(sel.sum())
+
+    def _apply_recomb(self, lo, hi, acc):
+        """Once per chromosome per iteration: EM update of per-sex
+        per-interval recombination rates from the accumulated
+        expectations (replaces the reference's twicestop-probe
+        machinery, cnF2freq.cpp:5586-5664, 6196-6230).  The updated
+        ped.actrec feeds back into every later scan through the
+        rate_matrix argument of the jitted scan."""
         ped = self.ped
+        sums, counts = acc
         if ped.actrec is None:
             ped.actrec = np.full((2, ped.num_markers),
                                  self.params.baserec)
         dists = np.diff(ped.markerposes[lo:hi])
         for sex in range(2):
-            rhat = p[:, :, sexes == sex].mean(axis=(0, 2))
-            rhat = np.clip(rhat, 1e-8, 0.49)
+            if counts[sex] == 0:
+                continue
+            rhat = np.clip(sums[sex] / counts[sex], 1e-8, 0.49)
             rate = np.log(1.0 - 2.0 * rhat) / np.maximum(dists, 1e-9)
             rate = np.clip(rate, -20.0, -1e-4)
             old = ped.actrec[sex, lo + 1:hi]
@@ -947,14 +967,11 @@ class Driver:
 
     # ------------------------------------------------------------------
     def run(self, iterations: int):
-        """The reference main loop (cnF2freq.cpp:8127-8195): iteration 0
-        only dumps state, later iterations run doit."""
-        logs = []
-        for i in range(iterations):
-            self.state.early = i < 1
-            if not self.state.early:
-                logs.append(self.iterate())
-        return logs
+        """The reference main loop (cnF2freq.cpp:8127-8195): every
+        iteration runs doit, with the first in "early" mode (parameter
+        statistics accumulate but no phase-flip moves, cnF2freq.cpp:231,
+        8131)."""
+        return [self.iterate(early=(i == 0)) for i in range(iterations)]
 
 
 def _dosureval(what, entry):

@@ -98,7 +98,7 @@ def prep_slots(fb: FamilyBatch, dtype) -> SlotTensors:
 # ---------------------------------------------------------------------------
 # Emission kernel: e[m, X, tile] from slot data
 # ---------------------------------------------------------------------------
-def _e_tile(md, ms, hw, exists, attop, f2ig, cfg: ModelConfig, dtype):
+def _e_tile(md, ms, hw, exists, attop, cfg: ModelConfig, dtype):
     """E [2(s2), 2(s1), 2(s0), 8(fp1), 8(fp0)] + T for one (m, b-tile):
     assemble_e_all semantics on in-VMEM blocks."""
     def slotL(s):
@@ -117,10 +117,12 @@ def _e_tile(md, ms, hw, exists, attop, f2ig, cfg: ModelConfig, dtype):
         vk, svk = (vA, svA) if k == 0 else (vB, svB)
         pb = sp.parent_block_L(par[k], gps[k][0], gps[k][1], vk, svk,
                                haplotyping=hap)      # [r, f, p, sk, *T]
-        bits = (f2ig >> (1 + 3 * k)) & 7
-        V = jnp.stack([((bits & p) == 0).astype(dtype) for p in range(8)],
-                      axis=0)
-        pbs.append((pb * V[None, None, :, None]).sum(axis=2))  # [r,f,sk,*T]
+        # no flag2ignore mask here: assemble_e_all sums all paths, and
+        # parent_block_L's canonical-path weights already zero every
+        # path bit a vacant/attop-pruned slot cannot consume (pinned by
+        # test_emission_tiles_match_assemble_e incl. vacant-slot
+        # families)
+        pbs.append(pb.sum(axis=2))                   # [r, f, sk, *T]
 
     T = md.shape[2:]
     # e[v,u,t,b,a] = sum_r froot[r,t] * pbs0[r,a,u] * pbs1[r,b,v]
@@ -143,7 +145,7 @@ def _e_tile(md, ms, hw, exists, attop, f2ig, cfg: ModelConfig, dtype):
     return jnp.where(focal.attop, tops_e, e)
 
 
-def _e_kernel(md_ref, ms_ref, hw_ref, ex_ref, at_ref, f2_ref,
+def _e_kernel(md_ref, ms_ref, hw_ref, ex_ref, at_ref,
               e_ref, *, cfg: ModelConfig):
     T = (_TS, _TL)
     dtype = e_ref.dtype
@@ -152,8 +154,7 @@ def _e_kernel(md_ref, ms_ref, hw_ref, ex_ref, at_ref, f2_ref,
     hw = hw_ref[:].reshape((7,) + T)
     exists = ex_ref[:].reshape((7,) + T) != 0
     attop = at_ref[:].reshape((7,) + T) != 0
-    f2ig = f2_ref[:].reshape(T)
-    e = _e_tile(md, ms, hw, exists, attop, f2ig, cfg, dtype)
+    e = _e_tile(md, ms, hw, exists, attop, cfg, dtype)
     e_ref[:] = e.reshape(e_ref.shape)
 
 
@@ -177,7 +178,6 @@ def emission_tiles(st: SlotTensors, M: int, cfg: ModelConfig,
             bspec((7, 1, 1, _TS, _TL), lambda m, b: (0, m, b, 0, 0)),
             bspec((7, 1, _TS, _TL), lambda m, b: (0, b, 0, 0)),
             bspec((7, 1, _TS, _TL), lambda m, b: (0, b, 0, 0)),
-            bspec((1, _TS, _TL), lambda m, b: (b, 0, 0)),
         ],
         out_specs=bspec((1, 512, 1, _TS, _TL), lambda m, b: (m, 0, b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((M, 512, nb, _TS, _TL), dtype),
@@ -185,7 +185,7 @@ def emission_tiles(st: SlotTensors, M: int, cfg: ModelConfig,
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(st.md, st.ms, st.hw, st.ex, st.at, st.f2)
+    )(st.md, st.ms, st.hw, st.ex, st.at)
     return e
 
 
@@ -377,7 +377,7 @@ def _fbv2_fwd_kernel(e_ref, lam_ref, pre_ref, pref_ref, post_ref,
     post_ref[:] = pn.reshape(post_ref.shape)
     postf_ref[:] = f.reshape(postf_ref.shape)
 
-    lam = lam_ref[:].reshape((S,) + T)
+    lam = lam_ref[:].reshape(S, 1, _TL)
     p_scr[:] = _transition_tile(pn, lam, NS, S).reshape(p_scr.shape)
     f_scr[:] = f.reshape(f_scr.shape)
 
@@ -402,7 +402,7 @@ def _fbv2_bwd_kernel(e_ref, lam_ref, bw_ref, bwf_ref, p_scr, f_scr, *,
     def _():
         e = e_ref[:].reshape((NS, S) + T)
         pn, f2 = _emit_norm_tile(p, e, f, NS, S, dtype)
-        lam = lam_ref[:].reshape((S,) + T)
+        lam = lam_ref[:].reshape(S, 1, _TL)
         p_scr[:] = _transition_tile(pn, lam, NS, S).reshape(p_scr.shape)
         f_scr[:] = f2.reshape(f_scr.shape)
 
@@ -419,8 +419,9 @@ def fb_sweeps_v2_pallas(e: jnp.ndarray, dists: jnp.ndarray,
     lam = transition_eigenvalues(cfg, r).astype(dtype)       # [M-1, S]
     lam_pad = jnp.concatenate([lam, jnp.ones((1, S), dtype=dtype)], 0)
     # eigenvalues vary along the leading state axis of the carry: feed
-    # them pre-broadcast over the (TS, TL) tile dims
-    lam_b = jnp.broadcast_to(lam_pad[:, :, None, None], (M, S, _TS, _TL))
+    # them broadcast over the lane axis only (one vreg row per state;
+    # the kernel broadcasts over sublanes in-register)
+    lam_b = jnp.broadcast_to(lam_pad[:, :, None, None], (M, S, 1, _TL))
 
     t5 = (nb, _TS, _TL)
     ev = e.reshape((M, X) + t5)
@@ -431,8 +432,8 @@ def fb_sweeps_v2_pallas(e: jnp.ndarray, dists: jnp.ndarray,
     espec_f = bspec((1, X, 1, _TS, _TL), lambda b, m: (m, 0, b, 0, 0))
     espec_b = bspec((1, X, 1, _TS, _TL),
                     lambda b, m, nm=M: (nm - 1 - m, 0, b, 0, 0))
-    lspec_f = bspec((1, S, _TS, _TL), lambda b, m: (m, 0, 0, 0))
-    lspec_b = bspec((1, S, _TS, _TL),
+    lspec_f = bspec((1, S, 1, _TL), lambda b, m: (m, 0, 0, 0))
+    lspec_b = bspec((1, S, 1, _TL),
                     lambda b, m, nm=M: (jnp.maximum(nm - 2 - m, 0),
                                         0, 0, 0))
     ospec_f = bspec((1, X, 1, _TS, _TL), lambda b, m: (m, 0, b, 0, 0))

@@ -17,12 +17,18 @@ from cnf2freq_tpu.ops import scan_v2 as v2
 from cnf2freq_tpu.utils import simulate_f2
 
 
-def _setup(B=6, M=9, dtype=np.float64, seed=3):
+def _setup(B=6, M=9, dtype=np.float64, seed=3, with_vacant=False):
     ped = simulate_f2(n_f2=B, n_markers=M, n_founder_pairs=2, seed=seed)
     for ind in ped.inds[1:]:
         ped.fixtrees(ind.n)
     ped.count_descendants()
-    fb = gather_family(ped, ped.dous, 0, ped.num_markers - 1, dtype=dtype)
+    focals = list(ped.dous)
+    if with_vacant:
+        # F1 focals: founder parents, vacant grandparent slots
+        f1s = [i.n for i in ped.inds[1:]
+               if i.pars[0] and ped.by_id(i.pars[0]).founder][:2]
+        focals = focals + f1s
+    fb = gather_family(ped, focals, 0, ped.num_markers - 1, dtype=dtype)
     rng = np.random.default_rng(seed)
     fb.hw = rng.uniform(0.05, 0.95, fb.hw.shape)
     fb.ms = np.where(fb.md > 0, rng.uniform(0.0, 0.3, fb.ms.shape), fb.ms)
@@ -44,7 +50,9 @@ def _v2_pipeline(fbj, dists, cfg, params, dtype):
 
 
 def test_emission_tiles_match_assemble_e():
-    fbj, dists, cfg, params = _setup()
+    # with_vacant: F1 focals with empty grandparent slots pin the
+    # no-flag2ignore-mask form of the kernel against assemble_e_all
+    fbj, dists, cfg, params = _setup(with_vacant=True)
     dtype = jnp.float64
     B, _, M, _ = fbj.md.shape
     st, e, _, _ = _v2_pipeline(fbj, dists, cfg, params, dtype)
