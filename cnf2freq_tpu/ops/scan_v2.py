@@ -377,7 +377,7 @@ def _fbv2_fwd_kernel(e_ref, lam_ref, pre_ref, pref_ref, post_ref,
     post_ref[:] = pn.reshape(post_ref.shape)
     postf_ref[:] = f.reshape(postf_ref.shape)
 
-    lam = lam_ref[:].reshape(S, 1, _TL)
+    lam = lam_ref[:].reshape((S,) + T)
     p_scr[:] = _transition_tile(pn, lam, NS, S).reshape(p_scr.shape)
     f_scr[:] = f.reshape(f_scr.shape)
 
@@ -402,7 +402,7 @@ def _fbv2_bwd_kernel(e_ref, lam_ref, bw_ref, bwf_ref, p_scr, f_scr, *,
     def _():
         e = e_ref[:].reshape((NS, S) + T)
         pn, f2 = _emit_norm_tile(p, e, f, NS, S, dtype)
-        lam = lam_ref[:].reshape(S, 1, _TL)
+        lam = lam_ref[:].reshape((S,) + T)
         p_scr[:] = _transition_tile(pn, lam, NS, S).reshape(p_scr.shape)
         f_scr[:] = f2.reshape(f_scr.shape)
 
@@ -419,9 +419,10 @@ def fb_sweeps_v2_pallas(e: jnp.ndarray, dists: jnp.ndarray,
     lam = transition_eigenvalues(cfg, r).astype(dtype)       # [M-1, S]
     lam_pad = jnp.concatenate([lam, jnp.ones((1, S), dtype=dtype)], 0)
     # eigenvalues vary along the leading state axis of the carry: feed
-    # them broadcast over the lane axis only (one vreg row per state;
-    # the kernel broadcasts over sublanes in-register)
-    lam_b = jnp.broadcast_to(lam_pad[:, :, None, None], (M, S, 1, _TL))
+    # them pre-broadcast over the (TS, TL) tile dims.  (A lane-only
+    # [M, S, 1, TL] feed would cut the per-step eigenvalue DMA 8x; kept
+    # full-tile until it can be validated on hardware.)
+    lam_b = jnp.broadcast_to(lam_pad[:, :, None, None], (M, S, _TS, _TL))
 
     t5 = (nb, _TS, _TL)
     ev = e.reshape((M, X) + t5)
@@ -432,8 +433,8 @@ def fb_sweeps_v2_pallas(e: jnp.ndarray, dists: jnp.ndarray,
     espec_f = bspec((1, X, 1, _TS, _TL), lambda b, m: (m, 0, b, 0, 0))
     espec_b = bspec((1, X, 1, _TS, _TL),
                     lambda b, m, nm=M: (nm - 1 - m, 0, b, 0, 0))
-    lspec_f = bspec((1, S, 1, _TL), lambda b, m: (m, 0, 0, 0))
-    lspec_b = bspec((1, S, 1, _TL),
+    lspec_f = bspec((1, S, _TS, _TL), lambda b, m: (m, 0, 0, 0))
+    lspec_b = bspec((1, S, _TS, _TL),
                     lambda b, m, nm=M: (jnp.maximum(nm - 2 - m, 0),
                                         0, 0, 0))
     ospec_f = bspec((1, X, 1, _TS, _TL), lambda b, m: (m, 0, b, 0, 0))
