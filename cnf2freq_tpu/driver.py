@@ -80,6 +80,10 @@ class Driver:
         # demo.sh:22-23 — cost nothing but avoid a multi-minute compile
         # per distinct length).  None disables.
         self.marker_bucket = 64
+        # Marker-blocked (checkpointed) scan: chromosomes longer than
+        # this run in O(marker_block) device memory via boundary-carry
+        # recompute (ops/scan_v2.blocked_scan_chunk).  None disables.
+        self.marker_block = None
         # Flip-solver budget: at most this many top-gain markers get a
         # joint solve per chromosome per iteration.
         self.max_flip_markers = 16
@@ -118,9 +122,9 @@ class Driver:
         set (~6 x [B, M, 512] tensors at the driver dtype) fits
         hbm_budget_bytes.  1024 is the effective quantum: the v2
         pipeline pads the lane axis to 8x128 tiles, so smaller chunks
-        cost the same memory.  Chromosomes long enough that even one
-        1024-unit tile exceeds the budget need marker-axis blocking
-        (future work) — the floor is returned and may overshoot."""
+        cost the same memory.  For chromosomes long enough that even one
+        1024-unit tile exceeds the budget, set marker_block — the
+        blocked scan bounds memory by block length instead."""
         if self.batch_size is None:
             return n_units
         if self.batch_size != "auto":
@@ -488,8 +492,17 @@ class Driver:
             lo, hi = ped.chromosome_range(c)
             for n in dous:
                 ped.by_id(n).lastinved[c] = -1
-            scan_fn, coh_fn = self._jitted_scan_merged(NI)
             Mc = hi - lo
+            if self.marker_block is not None and Mc > self.marker_block:
+                winner = self._chromosome_blocked(
+                    c, lo, hi, dous, haplobase, haplocount, infacc,
+                    ind_index, lut, early)
+                winners.append(winner)
+                if winner is not None:
+                    apply_flips(ped, winner, c, haplobase, haplocount,
+                                ind_index)
+                continue
+            scan_fn, coh_fn = self._jitted_scan_merged(NI)
             Mp = Mc if not self.marker_bucket else \
                 -(-Mc // self.marker_bucket) * self.marker_bucket
             dists = np.diff(ped.markerposes[lo:hi]).astype(self.dtype)
@@ -732,23 +745,44 @@ class Driver:
         family/variable graph containing a gainful family is solved in
         full — the reference solves the complete per-marker WCNF over
         all families (cnF2freq.cpp:5978-6084)."""
+        scored = self._score_turns(dous, lo, hi, weight_parts, haplobase,
+                                   haplocount, ind_index, chrom)
+        return self._solve_scored(dous, lo, hi, scored, chrom)
+
+    def _score_turns(self, dous, lo, hi, weight_parts, haplobase,
+                     haplocount, ind_index, chrom, marker_offset=0,
+                     m_span=None, skew_rows=None, halo=False):
+        """Device scoring of one marker span: returns host
+        (idx_global, mg, gains [B, k], S_top [B, k, P]).  weight_parts:
+        device [Bi, m_span, T] chunks (batch chunks); marker_offset maps
+        span-local indices back to chromosome-local ones (blocked
+        mode); skew_rows optionally supplies pre-sliced (hb, hc)
+        [B, m_span] rows (blocked mode scores against in-progress
+        accumulators)."""
         import jax.numpy as jnp
         ped = self.ped
         B = len(dous)
-        M = hi - lo
-        varlists, pat, allowed, comp_struct, comp_of_fam = \
-            self._flip_static(dous, chrom)
+        M = m_span if m_span is not None else hi - lo
+        s0 = lo + marker_offset
+        Mh = M + (1 if halo else 0)   # skew inputs carry a right halo
 
         with_skew = bool(self.cfg.relskews)
         dt = weight_parts[0].dtype
         if with_skew:
-            hw = np.stack([ped.by_id(n).haploweight[lo:hi] for n in dous])
-            rh = np.stack([ped.by_id(n).relhaplo[lo:hi] for n in dous])
-            rows = np.array([ind_index[n] for n in dous])
-            hb = haplobase[rows][:, lo:hi]
-            hc = haplocount[rows][:, lo:hi]
+            hw = np.stack([ped.by_id(n).haploweight[s0:s0 + Mh]
+                           for n in dous])
+            rh = np.stack([ped.by_id(n).relhaplo[s0:s0 + Mh]
+                           for n in dous])
+            if skew_rows is not None:
+                hb, hc = skew_rows
+            else:
+                rows = np.array([ind_index[n] for n in dous])
+                hb = haplobase[rows][:, s0:s0 + M]
+                hc = haplocount[rows][:, s0:s0 + M]
         else:
-            hw = rh = hb = hc = np.zeros((B, M))
+            hw = rh = hb = hc = np.zeros((B, Mh))
+        varlists, pat, allowed, comp_struct, comp_of_fam = \
+            self._flip_static(dous, chrom)
         desc = np.array([ped.by_id(n).descendants for n in dous],
                         dtype=np.float64)
         focal_bit = 1 << (self.cfg.turnbits - 1)
@@ -761,12 +795,119 @@ class Driver:
                 jnp.asarray(hw.astype(dt)), jnp.asarray(rh.astype(dt)),
                 jnp.asarray(hb.astype(dt)), jnp.asarray(hc.astype(dt)),
                 jnp.asarray(desc.astype(dt)), jnp.asarray(tsel),
-                k=k, with_skew=with_skew)
-            idx = np.asarray(idx)
+                k=k, with_skew=with_skew, halo=halo)
+            idx = np.asarray(idx) + marker_offset
             mg = np.asarray(mg)
             gains = np.asarray(gains, dtype=np.float64)   # [B, k]
             S_top = np.asarray(S_top, dtype=np.float64)   # [B, k, P]
+        return idx, mg, gains, S_top
 
+    def _chromosome_blocked(self, c, lo, hi, dous, haplobase, haplocount,
+                            infacc, ind_index, lut, early
+                            ) -> Optional[FlipCandidate]:
+        """One chromosome in marker-blocked (checkpointed) mode:
+        O(marker_block) device memory at any chromosome length
+        (ops/scan_v2.blocked_scan_chunk).  Adjacent-phase coherence
+        measurement is skipped (needs whole-chromosome sweep tensors);
+        relhaplo keeps its current values."""
+        import jax
+        import jax.numpy as jnp
+
+        from .hmm.transition import rate_matrix
+        from .ops import scan_v2 as v2
+        from .parallel.mesh import pad_markers
+        ped = self.ped
+        if self.remap_distances:
+            raise ValueError("remap_distances is not supported in "
+                             "marker-blocked mode")
+        if self.flip_mode != "native" and not early:
+            raise NotImplementedError("marker-blocked mode supports the "
+                                      "native flip optimizer only")
+        block = self.marker_block
+        Mc = hi - lo
+        Mp = -(-Mc // block) * block
+        if self._chunk_size(len(dous), block) < len(dous):
+            raise NotImplementedError(
+                "marker-blocked mode currently runs the cohort as one "
+                "batch chunk; raise hbm_budget_bytes or split the cohort")
+        dists = np.pad(np.diff(ped.markerposes[lo:hi]).astype(self.dtype),
+                       (0, Mp - Mc))
+        rm = np.pad(rate_matrix(self.cfg, self.params, Mc - 1, ped.actrec,
+                                lo, dtype=self.dtype),
+                    ((0, Mp - Mc), (0, 0)))
+        with self.tracer.span("gather"):
+            fbatch = gather_family(ped, dous, lo, hi - 1,
+                                   dtype=self.dtype)
+            if Mp > Mc:
+                fbatch = pad_markers(fbatch, Mp)
+        NI = haplobase.shape[0]
+        key = ("blocked", self.dtype, NI, block)
+        if key not in self._scan_cache:
+            dt = jnp.float32 if np.dtype(self.dtype) == np.float32 \
+                else jnp.float64
+            self._scan_cache[key] = v2.make_blocked_pieces(
+                self.cfg, self.params, dt, NI,
+                interpret=jax.default_backend() == "cpu")
+        pieces = self._scan_cache[key]
+        rows = np.array([ind_index[n] for n in dous])
+        scored = []
+        pending = []   # blocks score one step deferred: the NEXT
+        # block's merged accumulators supply the right-halo column for
+        # an exact cross-boundary relskew term
+
+        def score_block(off, w, hb_full, hc_full):
+            span = min(block, Mc - off)
+            if span <= 0:
+                return                     # wholly padded block
+            halo = off + span < Mc
+            ext = span + (1 if halo else 0)
+            scored.append(self._score_turns(
+                dous, lo, hi, (w[:, :span],), None, None, ind_index, c,
+                marker_offset=off, m_span=span, halo=halo,
+                skew_rows=(hb_full[rows][:, off:off + ext],
+                           hc_full[rows][:, off:off + ext])))
+
+        def consumer(off, w, hb_full, hc_full):
+            if early:
+                return
+            pending.append((off, w))
+            if len(pending) >= 2:
+                poff, pw = pending.pop(0)
+                score_block(poff, pw, hb_full, hc_full)
+            consumer.accs = (hb_full, hc_full)
+
+        with self.tracer.span("scan"):
+            total, pair, hb, hc, inf = v2.blocked_scan_chunk(
+                fbatch, dists, rm, jnp.asarray(lut), self.cfg,
+                self.params, block, pieces, turn_consumer=consumer)
+        if pending and not early:
+            poff, pw = pending.pop(0)
+            score_block(poff, pw, hb, hc)
+        with self.tracer.span("scatter"):
+            self._store_pair_tables(dous, lo, pair[:, :Mc])
+            haplobase[:, lo:hi] += hb[:, :Mc]
+            haplocount[:, lo:hi] += hc[:, :Mc]
+            infacc[:, lo:hi] += inf[:, :Mc]
+        if early or not scored:
+            return None
+        # merge per-block top-k hot markers; keep the global top
+        idx = np.concatenate([s[0] for s in scored])
+        mg = np.concatenate([s[1] for s in scored])
+        gains = np.concatenate([s[2] for s in scored], axis=1)
+        S_top = np.concatenate([s[3] for s in scored], axis=1)
+        order = np.argsort(mg)[::-1][:self.max_flip_markers]
+        merged = (idx[order], mg[order], gains[:, order], S_top[:, order])
+        with self.tracer.span("flips"):
+            return self._solve_scored(dous, lo, hi, merged, c)
+
+    def _solve_scored(self, dous, lo, hi, scored, chrom
+                      ) -> Optional[FlipCandidate]:
+        """Joint flip solve over the scored hot markers (idx may span
+        multiple blocks; entries are chromosome-local indices)."""
+        ped = self.ped
+        idx, mg, gains, S_top = scored
+        varlists, pat, allowed, comp_struct, comp_of_fam = \
+            self._flip_static(dous, chrom)
         from .native import load_flipsolve
         from .updates.phaseflip import solve_component
         lib = load_flipsolve()

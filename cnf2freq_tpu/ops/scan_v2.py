@@ -263,17 +263,243 @@ def fb_scan_v2(e: jnp.ndarray, dists: jnp.ndarray, cfg: ModelConfig,
                 fw_post_f=fw_post_f, bw_f=bw_f)
 
 
-def combined_loglik_v2(fb2: FBv2, sh: jnp.ndarray) -> jnp.ndarray:
-    """total [R] from fw_post_f [M, NS, R]; sh [nb, TS, TL] shiftignore."""
-    NS = fb2.fw_post_f.shape[1]
-    R = fb2.fw_post_f.shape[2]
-    f = fb2.fw_post_f[-1]                                   # [NS, R]
+# ---------------------------------------------------------------------------
+# Marker-blocked (checkpointed) forward-backward: O(block) device memory
+# for arbitrarily long chromosomes.  Phase A/B carry-only sweeps store
+# only block-boundary carries; phase C recomputes each block's sweep
+# tensors from its boundaries (the lax.scan analogue of the reference's
+# fillortake binary-tree block cache, cnF2freq.cpp:1675-1776, and the
+# linear-memory fb literature in PAPERS.md).
+# ---------------------------------------------------------------------------
+def _wht_matrix(cfg, dtype):
+    return jnp.asarray(hadamard(int(cfg.numtypes).bit_length() - 1,
+                                str(dtype)))
+
+
+def fb_carry_fwd(e: jnp.ndarray, lam_pad: jnp.ndarray, p0, f0,
+                 cfg: ModelConfig):
+    """Carry-only forward over one block: e [K, X, R], lam_pad [K, S]
+    (row j = interval leaving marker j; last row crosses the block
+    boundary, identity for the final block).  Returns the pre-emission
+    carry entering the next block."""
+    S, NS = cfg.numtypes, cfg.numshifts
+    H = _wht_matrix(cfg, e.dtype)
+
+    def step(carry, xs):
+        p, logf = carry
+        ei, w = xs
+        pn, logf = _emit_norm_v2(p, ei, logf, NS, S)
+        return (_transition_v2(pn, w, H, NS, S), logf), None
+
+    (p, f), _ = jax.lax.scan(step, (p0, f0), (e, lam_pad), unroll=8)
+    return p, f
+
+
+def fb_carry_bwd(e: jnp.ndarray, lam_pad: jnp.ndarray, lam_below,
+                 bT, bfT, cfg: ModelConfig):
+    """Carry-only backward over one block: from the carry at the block's
+    last marker (bT = bw[last], bfT) consume markers K-1..0; the final
+    step's transition crosses the boundary below via lam_below [S]
+    (unused output for block 0).  Returns bw at the previous block's
+    last marker."""
+    S, NS = cfg.numtypes, cfg.numshifts
+    H = _wht_matrix(cfg, e.dtype)
+    lam_rows = jnp.concatenate([lam_below[None], lam_pad[:-1]], axis=0)
+
+    def step(carry, xs):
+        p, logf = carry
+        ei, w = xs
+        pn, logf = _emit_norm_v2(p, ei, logf, NS, S)
+        return (_transition_v2(pn, w, H, NS, S), logf), None
+
+    (p, f), _ = jax.lax.scan(step, (bT, bfT), (e, lam_rows), unroll=8,
+                             reverse=True)
+    return p, f
+
+
+def fb_scan_v2_block(e: jnp.ndarray, lam_pad: jnp.ndarray, p0, f0, bT,
+                     bfT, cfg: ModelConfig) -> FBv2:
+    """Full sweep tensors for one block from its boundary carries —
+    exactly the slice [iK:(i+1)K] of the whole-chromosome fb_scan_v2
+    (pinned by tests/test_blocked.py)."""
+    K, X, R = e.shape
+    S, NS = cfg.numtypes, cfg.numshifts
+    H = _wht_matrix(cfg, e.dtype)
+
+    def fwd_step(carry, xs):
+        p, logf = carry
+        ei, w = xs
+        pre, pre_f = p, logf
+        pn, logf = _emit_norm_v2(p, ei, logf, NS, S)
+        return (_transition_v2(pn, w, H, NS, S), logf), (pre, pre_f, pn,
+                                                         logf)
+
+    _, (fw_pre, fw_pre_f, fw_post, fw_post_f) = jax.lax.scan(
+        fwd_step, (p0, f0), (e, lam_pad), unroll=8)
+
+    def bwd_step(carry, xs):
+        p, logf = carry
+        ei, w = xs
+        pn, logf = _emit_norm_v2(p, ei, logf, NS, S)
+        pprev = _transition_v2(pn, w, H, NS, S)
+        return (pprev, logf), (pprev, logf)
+
+    _, (bw_rest, bw_rest_f) = jax.lax.scan(
+        bwd_step, (bT, bfT), (e[1:], lam_pad[:-1]), unroll=8,
+        reverse=True)
+    bw = jnp.concatenate([bw_rest, bT[None]], axis=0)
+    bw_f = jnp.concatenate([bw_rest_f, bfT[None]], axis=0)
+    return FBv2(fw_pre=fw_pre, fw_post=fw_post, bw=bw, fw_pre_f=fw_pre_f,
+                fw_post_f=fw_post_f, bw_f=bw_f)
+
+
+def make_blocked_pieces(cfg: ModelConfig, params: RuntimeParams, dtype,
+                        num_individuals: int, interpret: bool = False):
+    """Jitted building blocks for the marker-blocked scan, shared across
+    blocks/chunks/iterations (one compile per block shape)."""
+    from ..hmm.probes import haplo_update_mask
+    from ..parallel.collective import merge_haplos, merge_infprobs
+
+    prep = jax.jit(lambda f: prep_slots(f, dtype))
+    lamfn = jax.jit(lambda d, rm: transition_eigenvalues(
+        cfg, interval_recomb(cfg, params, d, ratemat=rm)).astype(dtype))
+    carry_f = jax.jit(lambda e, lp, p, f: fb_carry_fwd(e, lp, p, f, cfg))
+    carry_b = jax.jit(lambda e, lp, lb, p, f:
+                      fb_carry_bwd(e, lp, lb, p, f, cfg))
+    blockfb = jax.jit(lambda e, lp, p0, f0, bT, bfT:
+                      fb_scan_v2_block(e, lp, p0, f0, bT, bfT, cfg))
+    total_fn = jax.jit(loglik_from_factors)
+
+    @functools.partial(jax.jit, static_argnames=("K", "B"))
+    def block_stats(st, fb2, total_r, lut, fb_blk, K: int, B: int):
+        b12, accum, pair = stats_from_v2(st, fb2, total_r, K, B, cfg,
+                                         dtype, interpret=interpret)
+        hmask = haplo_update_mask(fb_blk, cfg)
+        hb, hc = merge_haplos(b12, hmask, fb_blk.hw, fb_blk.slot_ind,
+                              fb_blk.descendants, lut, num_individuals)
+        inf = merge_infprobs(accum, fb_blk.slot_ind, fb_blk.descendants,
+                             lut, num_individuals)
+        return pair, hb, hc, inf
+
+    def turn_fn(fb2, sh, desc, B):
+        if interpret:
+            return turn_weights_v2(fb2, sh, desc, cfg, B)
+        return turn_weights_v2_pallas(fb2, sh, desc, cfg, B)
+
+    return dict(prep=prep, lam=lamfn, carry_f=carry_f, carry_b=carry_b,
+                blockfb=blockfb, total=total_fn, block_stats=block_stats,
+                turn=jax.jit(turn_fn, static_argnames=("B",)))
+
+
+def blocked_scan_chunk(fb_np, dists, ratemat, lut, cfg: ModelConfig,
+                       params: RuntimeParams, block: int, pieces,
+                       turn_consumer=None):
+    """O(block)-device-memory scan + merge over one batch chunk.
+
+    fb_np: host FamilyBatch (marker axis a multiple of ``block``);
+    pieces: make_blocked_pieces output.  Three passes per chromosome:
+    forward boundary carries, backward boundary carries, then per-block
+    recompute + statistics; turn_consumer(offset, w_dev) is called per
+    block so turn weights never accumulate across blocks.  Returns
+    (total [B], pair [B, M, 2, 2] np, hb, hc [NI, M] np,
+    inf [NI, M, 2, 2] np)."""
+    import dataclasses
+
+    B, _, M, _ = fb_np.md.shape
+    assert M % block == 0, (M, block)
+    nblk = M // block
+    S, NS = cfg.numtypes, cfg.numshifts
+
+    def _interp():
+        return jax.default_backend() == "cpu"
+
+    def fb_slice(i):
+        sl = slice(i * block, (i + 1) * block)
+        return dataclasses.replace(fb_np, md=fb_np.md[:, :, sl],
+                                   ms=fb_np.ms[:, :, sl],
+                                   hw=fb_np.hw[:, :, sl])
+
+    lam = pieces["lam"](jnp.asarray(dists), None if ratemat is None
+                        else jnp.asarray(ratemat))          # [M-1, S]
+    dt = lam.dtype
+    lam_pad = jnp.concatenate([lam, jnp.ones((1, S), dtype=dt)], 0)
+
+    def block_inputs(i):
+        fb_blk = fb_slice(i).map(jnp.asarray)
+        st = pieces["prep"](fb_blk)
+        e = emission_tiles(st, block, cfg, dtype=dt,
+                           interpret=_interp()).reshape(block, 512, -1)
+        return fb_blk, st, e
+
+    R = (-(-B // _TN)) * _TN
+    p = jnp.full((NS * S, R), cfg.evengen, dtype=dt)
+    f = jnp.zeros((NS, R), dtype=dt)
+    fbound = []
+    for i in range(nblk):
+        fbound.append((p, f))
+        _, _, e = block_inputs(i)
+        p, f = pieces["carry_f"](e, lam_pad[i * block:(i + 1) * block],
+                                 p, f)
+
+    st0 = pieces["prep"](fb_slice(0).map(jnp.asarray))
+    total_r = pieces["total"](f, st0.sh)
+
+    bT = jnp.ones((NS * S, R), dtype=dt)
+    bfT = jnp.zeros((NS, R), dtype=dt)
+    bbound = [None] * nblk
+    for i in range(nblk - 1, -1, -1):
+        bbound[i] = (bT, bfT)
+        below = lam_pad[i * block - 1] if i > 0 else \
+            jnp.ones(S, dtype=dt)
+        _, _, e = block_inputs(i)
+        bT, bfT = pieces["carry_b"](e, lam_pad[i * block:(i + 1) * block],
+                                    below, *bbound[i])
+
+    total_np = np.asarray(total_r)[:B]
+    pair = np.zeros((B, M, 2, 2))
+    NIp1 = None
+    hb = hc = inf = None
+    for i in range(nblk):
+        fb_blk, st, e = block_inputs(i)
+        fb2 = pieces["blockfb"](e, lam_pad[i * block:(i + 1) * block],
+                                *fbound[i], *bbound[i])
+        pair_i, hb_i, hc_i, inf_i = pieces["block_stats"](
+            st, fb2, total_r, lut, fb_blk, K=block, B=B)
+        sl = slice(i * block, (i + 1) * block)
+        pair[:, sl] = np.asarray(pair_i)
+        if hb is None:
+            NI = hb_i.shape[0]
+            hb = np.zeros((NI, M))
+            hc = np.zeros((NI, M))
+            inf = np.zeros((NI, M, 2, 2))
+        hb[:, sl] = np.asarray(hb_i)
+        hc[:, sl] = np.asarray(hc_i)
+        inf[:, sl] = np.asarray(inf_i)
+        if turn_consumer is not None:
+            w = pieces["turn"](fb2, st.sh,
+                               fb_blk.descendants.astype(dt), B=B)
+            # consumer sees the block's turn weights plus the full
+            # in-progress accumulators (filled through this block):
+            # enough for exact relskew clause adjustment of the
+            # PREVIOUS block including its right-boundary halo column
+            turn_consumer(i * block, w, hb, hc)
+    return total_np, pair, hb, hc, inf
+
+
+def loglik_from_factors(f: jnp.ndarray, sh: jnp.ndarray) -> jnp.ndarray:
+    """total [R] from final post-emission factors f [NS, R]."""
+    NS, R = f.shape
     allowed = (jnp.arange(NS)[:, None] & sh.reshape(1, R)) == 0
     f = jnp.where(allowed, f, MINFACTOR)
     fmax = f.max(axis=0)
     return fmax + jnp.log(jnp.sum(jnp.where(allowed,
                                             jnp.exp(f - fmax[None]), 0.0),
                                   axis=0))
+
+
+def combined_loglik_v2(fb2: FBv2, sh: jnp.ndarray) -> jnp.ndarray:
+    """total [R] from fw_post_f [M, NS, R]; sh [nb, TS, TL] shiftignore."""
+    return loglik_from_factors(fb2.fw_post_f[-1], sh)
 
 
 def turn_weights_v2(fb2: FBv2, sh: jnp.ndarray, descendants: jnp.ndarray,

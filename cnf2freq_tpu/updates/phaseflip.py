@@ -134,12 +134,15 @@ def make_flip_scorer():
     import jax.numpy as jnp
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("k", "with_skew"))
+    @partial(jax.jit, static_argnames=("k", "with_skew", "halo"))
     def score(parts, pat, allowed, hw, rh, hb, hc, desc, tsel,
-              k: int, with_skew: bool):
+              k: int, with_skew: bool, halo: bool = False):
         """parts: tuple of [Bi, M, T] turn-weight chunks; pat [B, T]
         per-family pattern index of each turn; allowed [B, T];
-        hw/rh/hb/hc [B, Mc] skew inputs (Mc == M); desc [B]; tsel [T].
+        hw/rh/hb/hc [B, M] skew inputs — or [B, M+1] with halo=True,
+        where the extra right column supplies the cross-boundary
+        neighbor so every one of the M markers gets its exact skew term
+        (marker-blocked scoring of interior blocks); desc [B]; tsel [T].
         Returns (idx [k] marker indices, mg [k] total gains,
         gains [B, k], S [B, k, P])."""
         W = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
@@ -153,7 +156,7 @@ def make_flip_scorer():
         if with_skew:
             # calcskewterms clause adjustment (cnF2freq.cpp:4469-4531,
             # 5929-5959); same arithmetic as scatter.apply_skewterms
-            Mi = M - 1
+            Mi = M if halo else M - 1
             tiny = jnp.asarray(1e-323 if dtype == jnp.float64 else 1e-38,
                                dtype=dtype)
 
@@ -188,7 +191,7 @@ def make_flip_scorer():
             w = skew * 0.5
             w = jnp.where(jnp.isfinite(w), w, jnp.sign(w) * 25000.0)
             w = jnp.clip(w, -25000.0, 25000.0) * desc[:, None]
-            wpad = jnp.concatenate(
+            wpad = w if Mi == M else jnp.concatenate(
                 [w, jnp.zeros((B, M - Mi), dtype=dtype)], axis=1)
             W = W - wpad[:, :, None] * tsel[None, None, :].astype(dtype)
 
