@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "is written here (atomic rename) after every "
                    "iteration, and restored from it at startup when the "
                    "file exists — kill/resume-safe long runs")
+    p.add_argument("--markerblock", type=int, default=None,
+                   help="marker-blocked (checkpointed) scan for "
+                   "chromosomes longer than this many markers: device "
+                   "memory stays O(block) at any chromosome length")
     p.add_argument("--flipmode", choices=("native", "negshift"),
                    default="native",
                    help="phase-flip optimizer: joint per-marker solver "
@@ -151,6 +155,9 @@ def main(argv=None) -> int:
     dtype = np.float64 if args.x64 else np.float32
     driver = Driver(ped, dtype=dtype)
     driver.flip_mode = args.flipmode
+    if args.markerblock:
+        driver.marker_block = args.markerblock
+        driver.adaptive_relhaplo = False   # whole-chromosome pass
     trace_f = None
     if args.trace:
         from .utils.tracing import Tracer

@@ -72,3 +72,14 @@ def test_cli_gigi_route(tmp_path):
     assert len(rows) == 3 * 3          # 3 analysis inds x 3 markers
     vals = np.array([[float(v) for v in r.split("\t")] for r in rows])
     np.testing.assert_allclose(vals.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_cli_markerblock_route(tmp_path):
+    """--markerblock routes the demo through the blocked scan."""
+    out = str(tmp_path / "o")
+    rc = main(DEMO + ["--count", "2", "--markerblock", "8",
+                      "--dump", str(tmp_path / "d"), "--output", out])
+    assert rc == 0
+    vals = np.array([[float(v) for v in r.split("\t")]
+                     for r in open(out) if "\t" in r])
+    np.testing.assert_allclose(vals.sum(axis=1), 1.0, atol=2e-5)
