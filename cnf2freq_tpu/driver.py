@@ -874,7 +874,6 @@ class Driver:
             if len(pending) >= 2:
                 poff, pw = pending.pop(0)
                 score_block(poff, pw, hb_full, hc_full)
-            consumer.accs = (hb_full, hc_full)
 
         with self.tracer.span("scan"):
             total, pair, hb, hc, inf = v2.blocked_scan_chunk(
