@@ -582,16 +582,16 @@ def _transition_tile(pn, lam, NS, S):
     return _fwht_lead(q, 1, S) * (1.0 / S)
 
 
-def _fbv2_fwd_kernel(e_ref, lam_ref, pre_ref, pref_ref, post_ref,
-                     postf_ref, p_scr, f_scr, *, NS, S, evengen):
+def _fbv2_fwd_kernel(e_ref, lam_ref, p0_ref, f0_ref, pre_ref, pref_ref,
+                     post_ref, postf_ref, p_scr, f_scr, *, NS, S):
     m = pl.program_id(1)
     T = (_TS, _TL)
     dtype = p_scr.dtype
 
     @pl.when(m == 0)
     def _():
-        p_scr[:] = jnp.full_like(p_scr, evengen)
-        f_scr[:] = jnp.zeros_like(f_scr)
+        p_scr[:] = p0_ref[:].reshape(p_scr.shape)
+        f_scr[:] = f0_ref[:].reshape(f_scr.shape)
 
     p = p_scr[:].reshape((NS, S) + T)
     f = f_scr[:].reshape((NS,) + T)
@@ -603,21 +603,21 @@ def _fbv2_fwd_kernel(e_ref, lam_ref, pre_ref, pref_ref, post_ref,
     post_ref[:] = pn.reshape(post_ref.shape)
     postf_ref[:] = f.reshape(postf_ref.shape)
 
-    lam = lam_ref[:].reshape((S,) + T)
+    lam = lam_ref[:].reshape(S, 1, _TL)
     p_scr[:] = _transition_tile(pn, lam, NS, S).reshape(p_scr.shape)
     f_scr[:] = f.reshape(f_scr.shape)
 
 
-def _fbv2_bwd_kernel(e_ref, lam_ref, bw_ref, bwf_ref, p_scr, f_scr, *,
-                     NS, S, nm):
+def _fbv2_bwd_kernel(e_ref, lam_ref, bT_ref, bfT_ref, bw_ref, bwf_ref,
+                     p_scr, f_scr, *, NS, S, nm):
     m = pl.program_id(1)
     T = (_TS, _TL)
     dtype = p_scr.dtype
 
     @pl.when(m == 0)
     def _():
-        p_scr[:] = jnp.ones_like(p_scr)
-        f_scr[:] = jnp.zeros_like(f_scr)
+        p_scr[:] = bT_ref[:].reshape(p_scr.shape)
+        f_scr[:] = bfT_ref[:].reshape(f_scr.shape)
 
     p = p_scr[:].reshape((NS, S) + T)
     f = f_scr[:].reshape((NS,) + T)
@@ -628,27 +628,46 @@ def _fbv2_bwd_kernel(e_ref, lam_ref, bw_ref, bwf_ref, p_scr, f_scr, *,
     def _():
         e = e_ref[:].reshape((NS, S) + T)
         pn, f2 = _emit_norm_tile(p, e, f, NS, S, dtype)
-        lam = lam_ref[:].reshape((S,) + T)
+        lam = lam_ref[:].reshape(S, 1, _TL)
         p_scr[:] = _transition_tile(pn, lam, NS, S).reshape(p_scr.shape)
         f_scr[:] = f2.reshape(f_scr.shape)
 
 
 def fb_sweeps_v2_pallas(e: jnp.ndarray, dists: jnp.ndarray,
                         cfg: ModelConfig, params: RuntimeParams,
-                        ratemat=None, interpret: bool = False) -> FBv2:
-    """fb_scan_v2 as two fused Pallas sweeps.  e: [M, X, R]."""
+                        ratemat=None, interpret: bool = False,
+                        lam_pad=None, init_fwd=None,
+                        init_bwd=None) -> FBv2:
+    """fb_scan_v2 as two fused Pallas sweeps.  e: [M, X, R].
+
+    Boundary-carry generalisation (the kernel form of
+    fb_scan_v2_block): ``lam_pad`` [M, S] supplies the per-interval
+    eigenvalue rows directly (row j = interval leaving marker j; last
+    row identity for a whole chromosome), ``init_fwd=(p0 [X,R], f0
+    [NS,R])`` seeds the forward carry and ``init_bwd=(bT, bfT)`` the
+    backward carry at the last marker — defaults reproduce the
+    whole-chromosome sweep (evengen prior / all-ones backward)."""
     M, X, R = e.shape
     S, NS = cfg.numtypes, cfg.numshifts
     dtype = e.dtype
     nb = R // _TN
-    r = interval_recomb(cfg, params, dists, ratemat=ratemat)
-    lam = transition_eigenvalues(cfg, r).astype(dtype)       # [M-1, S]
-    lam_pad = jnp.concatenate([lam, jnp.ones((1, S), dtype=dtype)], 0)
+    if lam_pad is None:
+        r = interval_recomb(cfg, params, dists, ratemat=ratemat)
+        lam = transition_eigenvalues(cfg, r).astype(dtype)   # [M-1, S]
+        lam_pad = jnp.concatenate([lam, jnp.ones((1, S), dtype=dtype)],
+                                  0)
+    else:
+        lam_pad = lam_pad.astype(dtype)
+    if init_fwd is None:
+        init_fwd = (jnp.full((X, R), cfg.evengen, dtype=dtype),
+                    jnp.zeros((NS, R), dtype=dtype))
+    if init_bwd is None:
+        init_bwd = (jnp.ones((X, R), dtype=dtype),
+                    jnp.zeros((NS, R), dtype=dtype))
     # eigenvalues vary along the leading state axis of the carry: feed
-    # them pre-broadcast over the (TS, TL) tile dims.  (A lane-only
-    # [M, S, 1, TL] feed would cut the per-step eigenvalue DMA 8x; kept
-    # full-tile until it can be validated on hardware.)
-    lam_b = jnp.broadcast_to(lam_pad[:, :, None, None], (M, S, _TS, _TL))
+    # them broadcast over the lane axis only (one vreg row per state;
+    # the kernel broadcasts over sublanes in-register)
+    lam_b = jnp.broadcast_to(lam_pad[:, :, None, None], (M, S, 1, _TL))
 
     t5 = (nb, _TS, _TL)
     ev = e.reshape((M, X) + t5)
@@ -659,8 +678,8 @@ def fb_sweeps_v2_pallas(e: jnp.ndarray, dists: jnp.ndarray,
     espec_f = bspec((1, X, 1, _TS, _TL), lambda b, m: (m, 0, b, 0, 0))
     espec_b = bspec((1, X, 1, _TS, _TL),
                     lambda b, m, nm=M: (nm - 1 - m, 0, b, 0, 0))
-    lspec_f = bspec((1, S, _TS, _TL), lambda b, m: (m, 0, 0, 0))
-    lspec_b = bspec((1, S, _TS, _TL),
+    lspec_f = bspec((1, S, 1, _TL), lambda b, m: (m, 0, 0, 0))
+    lspec_b = bspec((1, S, 1, _TL),
                     lambda b, m, nm=M: (jnp.maximum(nm - 2 - m, 0),
                                         0, 0, 0))
     ospec_f = bspec((1, X, 1, _TS, _TL), lambda b, m: (m, 0, b, 0, 0))
@@ -669,6 +688,14 @@ def fb_sweeps_v2_pallas(e: jnp.ndarray, dists: jnp.ndarray,
     fspec_f = bspec((1, NS, 1, _TS, _TL), lambda b, m: (m, 0, b, 0, 0))
     fspec_b = bspec((1, NS, 1, _TS, _TL),
                     lambda b, m, nm=M: (nm - 1 - m, 0, b, 0, 0))
+    # carry inits: resident per b-tile (index map ignores m, so the
+    # block is DMA'd once per b, read only at m == 0)
+    ispec_x = bspec((X, 1, _TS, _TL), lambda b, m: (0, b, 0, 0))
+    ispec_f = bspec((NS, 1, _TS, _TL), lambda b, m: (0, b, 0, 0))
+    p0t = init_fwd[0].reshape((X,) + t5)
+    f0t = init_fwd[1].reshape((NS,) + t5)
+    bTt = init_bwd[0].reshape((X,) + t5)
+    bfTt = init_bwd[1].reshape((NS,) + t5)
     scratch = [pltpu.VMEM((X, _TS, _TL), dtype),
                pltpu.VMEM((NS, _TS, _TL), dtype)]
     shape_x = jax.ShapeDtypeStruct((M, X) + t5, dtype)
@@ -678,27 +705,26 @@ def fb_sweeps_v2_pallas(e: jnp.ndarray, dists: jnp.ndarray,
         vmem_limit_bytes=100 * 1024 * 1024)
 
     fw_pre, fw_pre_f, fw_post, fw_post_f = pl.pallas_call(
-        functools.partial(_fbv2_fwd_kernel, NS=NS, S=S,
-                          evengen=float(cfg.evengen)),
+        functools.partial(_fbv2_fwd_kernel, NS=NS, S=S),
         grid=(nb, M),
-        in_specs=[espec_f, lspec_f],
+        in_specs=[espec_f, lspec_f, ispec_x, ispec_f],
         out_specs=(ospec_f, fspec_f, ospec_f, fspec_f),
         out_shape=(shape_x, shape_f, shape_x, shape_f),
         compiler_params=cparams,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(ev, lam_b)
+    )(ev, lam_b, p0t, f0t)
 
     bw, bw_f = pl.pallas_call(
         functools.partial(_fbv2_bwd_kernel, NS=NS, S=S, nm=M),
         grid=(nb, M),
-        in_specs=[espec_b, lspec_b],
+        in_specs=[espec_b, lspec_b, ispec_x, ispec_f],
         out_specs=(ospec_b, fspec_b),
         out_shape=(shape_x, shape_f),
         compiler_params=cparams,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(ev, lam_b)
+    )(ev, lam_b, bTt, bfTt)
 
     def flat(x, lead):
         return x.reshape(M, lead, R)

@@ -1,24 +1,19 @@
 """Test configuration: force a virtual 8-device CPU mesh and 64-bit floats.
 
-Must run before any jax import in the test process.
+Must run before any backend initialization in the test process.
 
-This box exposes one real TPU through an *exclusive* tunnel that the
-sitecustomize hook registers into every Python process (claimed at jax
-backend init even under JAX_PLATFORMS=cpu); two concurrent jax processes
-deadlock on the claim.  Tests are CPU-only, so if the hook's trigger env
-is present we re-exec the whole pytest process with it removed — the
-fresh interpreter then never touches the tunnel.
+This box exposes one real TPU through an *exclusive* tunnel whose PJRT
+plugin the sitecustomize hook registers into every Python process (the
+claim happens at backend init); two concurrent jax processes deadlock on
+the claim.  Tests are CPU-only, so we deregister the plugin before any
+backend initializes and pin jax to the cpu platform.  (An earlier
+version re-exec'd pytest with the hook's trigger env removed, but the
+execve inherits pytest's fd-capture redirection — stdout of the fresh
+process lands in pytest's unlinked capture tempfile and every report
+line is lost.)
 """
 
 import os
-import sys
-
-if os.environ.get("PALLAS_AXON_POOL_IPS"):
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
-    os.execve(sys.executable,
-              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -27,6 +22,16 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# sitecustomize may already have imported jax (latching jax_platforms to
+# "axon") and registered the tunnel-backed plugin: override the config
+# and drop the factory so no test path can touch the exclusive tunnel.
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax._src import xla_bridge as _xb
+    _xb._backend_factories.pop("axon", None)
+except Exception:  # jax internals moved: JAX_PLATFORMS=cpu still guards
+    pass
 
 jax.config.update("jax_enable_x64", True)
 
