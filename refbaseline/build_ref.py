@@ -1,0 +1,291 @@
+#!/usr/bin/env python3
+"""Build a locally-compilable copy of the reference cnF2freq binary.
+
+The container has no boost, no xstd::bit_set, and no toulbar2. This script
+
+1. copies ``cnF2freq.cpp`` + ``settings.h`` from /root/reference into
+   ``.refbuild/`` (gitignored -- the reference source is never committed),
+2. applies a minimal patch set: XSTDBITSET off (covertype falls back to the
+   reference's own ``set<int>`` branch, cnF2freq.cpp:4739), spirit-x3
+   dependent readers stubbed or re-expressed in plain C++ (the PlantImpute
+   demo path -- readalphamap/ped/data, postmarkerdata, doit, the haplotype
+   dump -- is not touched),
+3. compiles with the flags from the reference's demo.sh:6 against the shim
+   headers in refbaseline/include (hand-written stand-ins for the used boost
+   API surface).
+
+The resulting binary is the measured CPU baseline (BASELINE.md) and the
+oracle for the stage-by-stage parity harness. Run it with
+OMP_NUM_THREADS=1 for deterministic output and with refbaseline/ on PATH so
+the ``toulbar2`` WCNF-solver shim is found (cnF2freq.cpp:6078-6084 spawns
+``toulbar2`` via /bin/sh).
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+OUT = os.path.join(REPO, ".refbuild")
+
+
+def span_replace(text, begin_anchor, end_anchor, replacement, expect_from=0):
+    """Replace [begin_anchor, end_anchor) with replacement.
+
+    begin_anchor must occur exactly once at/after expect_from; end_anchor is
+    the first occurrence after the begin. Returns (new_text, end_index).
+    """
+    i = text.index(begin_anchor, expect_from)
+    if text.find(begin_anchor, i + 1) != -1:
+        raise SystemExit(f"anchor not unique: {begin_anchor[:60]!r}")
+    j = text.index(end_anchor, i + len(begin_anchor))
+    return text[:i] + replacement + text[j:], i + len(replacement)
+
+
+STUB_PRELUDE = r"""
+// ---- refbaseline patch: spirit-x3 parsing layer replaced ----------------
+// The functions below either abort (formats not exercised by the demo or
+// the baseline benchmark) or are re-expressed in plain C++ with the same
+// observable behavior. Everything else in this file is reference code.
+#include <cstdio>
+static void refshim_unavailable(const char* what)
+{
+	fprintf(stderr, "refbaseline shim: %s is not available in this build\n", what);
+	abort();
+}
+// -------------------------------------------------------------------------
+
+"""
+
+SAMPLEREADER_STUB = r"""typedef std::vector<std::tuple<std::string, std::string, std::string>> sampletype;
+
+struct samplereader
+{
+	sampletype samples;
+	void read(mapped_file_source&) { refshim_unavailable("samplereader (.sample parsing)"); }
+};
+
+"""
+
+READHAPSFULL_STUB = r"""void readhapsfull(const sampletype& samples, mapped_file_source& bimFile, vector<mapped_file_source*>& hapsFile)
+{
+	refshim_unavailable("readhapsfull (.bim/.haps parsing)");
+}
+
+"""
+
+READHAPSONLY_STUB = r"""void readhapsonly(vector<mapped_file_source*>& hapsFile)
+{
+	refshim_unavailable("readhapsonly (.haps parsing)");
+}
+
+"""
+
+CREATEHAPFILE_STUB = r"""void createhapfile(const sampletype& samples, mapped_file_source& oldhapfile, ostream& newhapfile)
+{
+	refshim_unavailable("createhapfile (.haps rewriting)");
+}
+
+"""
+
+READFAMBED_STUB = r"""void readfambed(std::string famFileName, std::string bedFileName, bool readall = true, bool dooverwrite = false)
+{
+	refshim_unavailable("readfambed (PLINK .fam/.bed parsing)");
+}
+
+#endif  // READHAPSSAMPLE (reopened by refbaseline patch; closes cnF2freq.cpp:6837)
+
+"""
+
+READGIGI_STUB = r"""void readgigidata(mapped_file_source&& map, mapped_file_source&& ped)
+{
+	refshim_unavailable("readgigidata (Gigi map/ped parsing)");
+}
+
+"""
+
+# Plain-C++ re-expressions of the two trivial spirit parsers (semantics from
+# cnF2freq.cpp:7518-7549): protmarkers = "map marker positions" header then
+# whitespace-separated cM doubles; protinds = per line "<field> <name>".
+ADDPROT_IMPL = r"""void addprotmarkers(set<double>& protmarkers, mapped_file_source&& source)
+{
+	std::istringstream in(std::string(source.begin(), source.end()));
+	std::string tok;
+	while (in >> tok)
+	{
+		try { protmarkers.insert(std::stod(tok)); }
+		catch (...) { /* header words: map marker positions */ }
+	}
+}
+
+void addprotinds(set<individ*>& protinds, mapped_file_source&& source)
+{
+	std::istringstream in(std::string(source.begin(), source.end()));
+	std::string line;
+	while (std::getline(in, line))
+	{
+		std::istringstream ls(line);
+		std::string field, name;
+		if (!(ls >> field >> name)) continue;
+		individ* ind = getind(name, false);
+		if (ind == 0)
+		{
+			fprintf(stderr, "Incorrect individual name. %s\n", name.c_str());
+		}
+		protinds.insert(ind);
+	}
+}
+
+"""
+
+# Plain-C++ re-expression of deserialize (semantics from
+# cnF2freq.cpp:7757-7832): header lines "<n> <name>", then one
+# "<haploweight> <a> <b> <negshift> <sure1> <sure2> [...]" row per marker.
+DESERIALIZE_IMPL = r"""void deserialize(istream& stream)
+{
+	string line;
+	while (std::getline(stream, line))
+	{
+		std::istringstream hdr(line);
+		int n;
+		string name, extra;
+		if (!(hdr >> n >> name) || (hdr >> extra))
+		{
+			if (!line.empty())
+				std::cerr << "Supposed individual header not a header: " << line << std::endl;
+			continue;
+		}
+
+		individ* ind = getind(n, false);
+		individ* indcheck = getind(name, false);
+
+		if (ind && ind == indcheck)
+		{
+			int oldphase = 0;
+			int switches = 0;
+			for (size_t i = 0; i < markerposes.size(); i++)
+			{
+				std::getline(stream, line);
+				double hw, ns, sure1, sure2;
+				int a, b;
+				if (sscanf(line.c_str(), "%lf %d %d %lf %lf %lf", &hw, &a, &b, &ns, &sure1, &sure2) != 6)
+				{
+					std::cerr << "Reading haplotype for marker " << i << " for individual " << ind->name << " failed: " << line << std::endl;
+				}
+				else
+				{
+					ind->haploweight[i] = hw;
+
+					pair<MarkerVal, MarkerVal> pmv = make_pair(a * MarkerValue, b * MarkerValue);
+					pair<MarkerVal, MarkerVal> rmv = make_pair(b * MarkerValue, a * MarkerValue);
+					bool inv = false;
+					bool match = true;
+					if (pmv != ind->markerdata[i])
+					{
+						if (rmv != ind->markerdata[i])
+						{
+							std::cerr << "Genotype mismatch for marker " << i << " for individual " << ind->name << " (" << ind->markerdata[i].first.value() << "," << ind->markerdata[i].second.value() << ") to " <<
+								" (" << pmv.first.value() << "," << pmv.second.value() << ")" << std::endl;
+							match = false;
+						}
+						else inv = true;
+					}
+					ind->markerdata[i] = pmv;
+					ind->markersure[i] = make_pair(sure1, sure2);
+					if (ind->haploweight[i] == 0.5) continue;
+					if (pmv == rmv) continue;
+					if (!match) continue;
+
+					int newphase = 1 + ((ind->haploweight[i] > 0.5) ^ inv);
+					if (oldphase && oldphase != newphase) switches++;
+
+					oldphase = newphase;
+				}
+			}
+
+			if (ind->children || (ind->pars[0] && !ind->pars[0]->empty) || (ind->pars[1] && !ind->pars[1]->empty)) std::cout << "Switches " << ind->n << " " << ind->name << "\t" << switches << std::endl;
+		}
+		else
+		{
+			std::cerr << "Supposed individual header not a header: " << line << std::endl;
+		}
+	}
+}
+
+"""
+
+
+def patch_source(src):
+    # 0. includes the reference picked up transitively through boost
+    src = src.replace(
+        "#include <exception>\n#include <cstdlib>",
+        "#include <exception>\n#include <cstdlib>\n"
+        "#include <atomic>\n#include <sstream>\n"
+        "#include <boost/refshim_core.hpp>",
+        1)
+    # 1. parseToEndWithError templates (spirit phrase_parse) -> prelude
+    src, at = span_replace(
+        src,
+        "template<class RuleType, class AttrType> void parseToEndWithError",
+        "#ifdef READHAPSSAMPLE",
+        STUB_PRELUDE,
+    )
+    # 2. x3 grammar rules + samplereader -> typedef + stub struct
+    src, at = span_replace(
+        src, "auto word_ = x3::lexeme", "using SnpDataType",
+        SAMPLEREADER_STUB, at)
+    # 3. big readers
+    src, at = span_replace(
+        src, "void readhapsfull(const sampletype& samples",
+        "void readhapsonly", READHAPSFULL_STUB, at)
+    src, at = span_replace(
+        src, "void readhapsonly(vector<mapped_file_source*>& hapsFile)",
+        "void createhapfile", READHAPSONLY_STUB, at)
+    src, at = span_replace(
+        src, "void createhapfile(const sampletype& samples",
+        "void readfambed", CREATEHAPFILE_STUB, at)
+    src, at = span_replace(
+        src, "void readfambed(std::string famFileName",
+        "auto mapline = ", READFAMBED_STUB, at)
+    src, at = span_replace(
+        src, "auto mapline = ", "void addprotmarkers", READGIGI_STUB, at)
+    src, at = span_replace(
+        src, "void addprotmarkers(set<double>& protmarkers",
+        "void clearunprotected", ADDPROT_IMPL, at)
+    src, at = span_replace(
+        src, "void deserialize(istream& stream)",
+        "std::string getname(individ* ind)", DESERIALIZE_IMPL, at)
+    if "<sstream>" not in src:
+        src = src.replace("#include <fstream>", "#include <fstream>\n#include <sstream>", 1)
+    return src
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    with open(os.path.join(REF, "cnF2freq.cpp")) as f:
+        src = f.read()
+    with open(os.path.join(REF, "settings.h")) as f:
+        settings = f.read()
+
+    src = patch_source(src)
+    settings = settings.replace("#define XSTDBITSET 1", "#define XSTDBITSET 0")
+
+    with open(os.path.join(OUT, "cnF2freq.cpp"), "w") as f:
+        f.write(src)
+    with open(os.path.join(OUT, "settings.h"), "w") as f:
+        f.write(settings)
+
+    cmd = [
+        "g++", "cnF2freq.cpp", "-O2", "-ffast-math", "-fopenmp",
+        "-I", os.path.join(REPO, "refbaseline", "include"),
+        "-std=gnu++20", "-DDOEXTERNFORGCC", "-w",
+        "-o", "cnf2freq_ref",
+    ]
+    print("+", " ".join(cmd))
+    r = subprocess.run(cmd, cwd=OUT)
+    sys.exit(r.returncode)
+
+
+if __name__ == "__main__":
+    main()
