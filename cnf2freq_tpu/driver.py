@@ -43,7 +43,7 @@ class DriverState:
 
 class Driver:
     def __init__(self, ped: Pedigree, params: Optional[RuntimeParams] = None,
-                 dtype=np.float64):
+                 dtype=np.float64, parity: bool = False):
         self.ped = ped
         self.cfg: ModelConfig = ped.config
         if self.cfg.selfing or self.cfg.relskewstates:
@@ -56,12 +56,20 @@ class Driver:
         self.dtype = dtype
         self.pair_tables: Dict[int, np.ndarray] = {}
         self._scan_cache = {}
+        # Strict reference-parity mode: reproduce the compiled reference
+        # binary's trajectory (refbaseline/) — reference fixtrees path
+        # masks, inert relhaplo, and run() skipping iteration 0 the way
+        # the reference main loop does (cnF2freq.cpp:8131-8132).
+        self.parity = parity
+        # Canonical-path masks for probes/variances: "reference" = the
+        # fixtrees mask, which also pins *empty* members
+        # (cnF2freq.cpp:3099-3187); "missing" pins only vacant slots.
+        self.mask_mode = "reference"
         # Feed the relskew machinery with measured adjacent-phase
         # coherence each iteration (the statistic relhaplo is designed to
         # carry; the reference's PlantImpute path leaves it inert at 0.5).
-        # Dramatically speeds phase convergence; disable for strict
-        # reference-parity experiments.
-        self.adaptive_relhaplo = True
+        # Dramatically speeds phase convergence; disabled in parity mode.
+        self.adaptive_relhaplo = not parity
         # Genetic-map re-estimation (the reference's default-off
         # DOREMAPDISTANCES, redesigned as a direct posterior EM update of
         # per-sex per-interval rates).
@@ -232,7 +240,7 @@ class Driver:
         for b0 in range(0, len(ids), chunk):
             sub = ids[b0:b0 + chunk]
             fb = gather_family(ped, sub, 0, ped.num_markers - 1,
-                               dtype=self.dtype)
+                               dtype=self.dtype, mask_mode=self.mask_mode)
             if len(sub) < chunk and len(ids) > chunk:
                 fb = pad_batch(fb, chunk)
             parts.append(np.asarray(run(fb.map(jnp.asarray)))[:len(sub)])
@@ -440,7 +448,7 @@ class Driver:
         for b0 in range(0, len(ids), chunk):
             sub = ids[b0:b0 + chunk]
             fb = gather_family(ped, sub, 0, ped.num_markers - 1,
-                               dtype=self.dtype)
+                               dtype=self.dtype, mask_mode=self.mask_mode)
             if len(sub) < chunk and len(ids) > chunk:
                 fb = pad_batch(fb, chunk)
             sq = np.asarray(run(fb.map(jnp.asarray)))
@@ -524,7 +532,8 @@ class Driver:
                 chunk = dous[b0:b0 + bs]
                 with self.tracer.span("gather"):
                     fbatch = gather_family(ped, chunk, lo, hi - 1,
-                                           dtype=self.dtype)
+                                           dtype=self.dtype,
+                                           mask_mode=self.mask_mode)
                     if Mp > Mc:
                         from .parallel.mesh import pad_markers
                         fbatch = pad_markers(fbatch, Mp)
@@ -837,7 +846,8 @@ class Driver:
                     ((0, Mp - Mc), (0, 0)))
         with self.tracer.span("gather"):
             fbatch = gather_family(ped, dous, lo, hi - 1,
-                                   dtype=self.dtype)
+                                   dtype=self.dtype,
+                                   mask_mode=self.mask_mode)
             if Mp > Mc:
                 fbatch = pad_markers(fbatch, Mp)
         NI = haplobase.shape[0]
@@ -1074,7 +1084,8 @@ class Driver:
             for b0 in range(0, len(dous), bs):
                 chunk = dous[b0:b0 + bs]
                 fbatch = gather_family(ped, chunk, lo, hi - 1,
-                                       dtype=self.dtype)
+                                       dtype=self.dtype,
+                                       mask_mode=self.mask_mode)
                 if Mp > Mc:
                     from .parallel.mesh import pad_markers
                     fbatch = pad_markers(fbatch, Mp)
@@ -1107,10 +1118,17 @@ class Driver:
 
     # ------------------------------------------------------------------
     def run(self, iterations: int):
-        """The reference main loop (cnF2freq.cpp:8127-8195): every
-        iteration runs doit, with the first in "early" mode (parameter
-        statistics accumulate but no phase-flip moves, cnF2freq.cpp:231,
-        8131)."""
+        """The reference main loop (cnF2freq.cpp:8127-8195).
+
+        At reference HEAD, ``early = (i < 1); if (!early) doit(...)``
+        (cnF2freq.cpp:8131-8132) — iteration 0 runs NO doit at all (the
+        first dump is the initial state) and ``early`` is never true
+        inside doit.  Parity mode reproduces that: iterations-1 full
+        doit calls.  Non-parity keeps the round-1 behavior of a useful
+        first pass without phase flips."""
+        if self.parity:
+            return [None] + [self.iterate(early=False)
+                             for _ in range(iterations - 1)]
         return [self.iterate(early=(i == 0)) for i in range(iterations)]
 
 

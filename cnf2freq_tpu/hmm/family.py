@@ -117,11 +117,3 @@ def gather_family(ped: Pedigree, focal_ids: Sequence[int],
     return FamilyBatch(md=md, ms=ms, hw=hw, exists=exists, attop=attop,
                        flag2ignore=f2ig, shiftignore=shig, descendants=desc,
                        slot_ind=slot_ind)
-
-
-def scatter_add_per_individual(ped: Pedigree, fb: FamilyBatch,
-                               values: np.ndarray, startmark: int,
-                               target: str):
-    """Accumulate [B, 7, M] statistics back onto per-individual arrays —
-    the host-side equivalent of moveinfprobs/movehaplos target selection."""
-    raise NotImplementedError

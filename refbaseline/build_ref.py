@@ -258,6 +258,104 @@ def patch_source(src):
         "std::string getname(individ* ind)", DESERIALIZE_IMPL, at)
     if "<sstream>" not in src:
         src = src.replace("#include <fstream>", "#include <fstream>\n#include <sstream>", 1)
+
+    # ---- instrumentation for the parity harness -------------------------
+    # (a) full-precision haplotype dump: the reference's %f/%lf columns
+    # truncate at 6 decimals, masking sub-1e-6 agreement or disagreement.
+    src = src.replace(
+        'fprintf(out, "%f\\t%d\\t%d\\t\\t%f\\t%lf %lf %lf\\t%d\\t%d\\t%lf\\t%lf\\n"',
+        'fprintf(out, "%.17g\\t%d\\t%d\\t\\t%.17g\\t%.17g %.17g %.17g\\t%d\\t%d\\t%.17g\\t%.17g\\n"')
+    src = src.replace(
+        'fprintf(out, "%f\\t%d\\t%d\\t\\t%f\\t%lf %lf %lf\\n"',
+        'fprintf(out, "%.17g\\t%d\\t%d\\t\\t%.17g\\t%.17g %.17g %.17g\\n"')
+    # (b) REFTRACE=1: per-individual per-marker informativeness variances
+    # (the lockhaplos input) on stderr.
+    old = "ind->addvariance(j, flag2ignore);"
+    new = ("{ ind->addvariance(j, flag2ignore); "
+           "if (getenv(\"REFTRACE\")) fprintf(stderr, \"VAR %d %d %.17g\\n\", "
+           "ind->n, j, ind->variances[j]); }")
+    if src.count(old) != 1:
+        raise SystemExit("addvariance anchor not unique")
+    src = src.replace(old, new)
+    # (c) REFTRACE2: per-(shift, majori, majorflag2) group sums inside
+    # addvariance, to localize emission-semantics divergences.
+    old = "sqsum += ok * ok;"
+    new = ("sqsum += ok * ok; if (getenv(\"REFTRACE2\")) "
+           "fprintf(stderr, \"AVGRP %d %d %d %d %d %.17g %.17g\\n\", "
+           "n, marker, shiftflagmode, majori, majorflag2, ok, fullok);")
+    if src.count(old) != 1:
+        raise SystemExit("sqsum anchor not unique")
+    src = src.replace(old, new)
+    # (d) REFTRACE3: individual nonzero addvariance emission terms.
+    old = ("ok += term * (allele ? 1 : -1);")
+    new = ("ok += term * (allele ? 1 : -1); if (getenv(\"REFTRACE3\") && term) "
+           "fprintf(stderr, \"AVTERM %d %d %d %d %d %d %.17g\\n\", "
+           "n, marker, *(tb.shiftflagmode), i, flag2, allele, term);")
+    if src.count(old) != 1:
+        raise SystemExit("avterm anchor not unique")
+    src = src.replace(old, new)
+    # (e) REFTRACE4=<ind>, REFTRACE4M=<marker>: per-level nonzero emission
+    # contributions inside trackpossible during that individual's
+    # addvariance, with full call context.
+    src = src.replace(
+        "#define none cnF2freqNONE",
+        "#define none cnF2freqNONE\nint reftrace_in_av = 0;", 1)
+    old = "		int count = 0;"
+    new = ("		int count = 0;\n"
+           "		reftrace_in_av = (getenv(\"REFTRACE4\") && "
+           "n == atoi(getenv(\"REFTRACE4\")) && getenv(\"REFTRACE4M\") && "
+           "marker == (unsigned)atoi(getenv(\"REFTRACE4M\")));")
+    if src.count(old) != 1:
+        raise SystemExit(f"count anchor count={src.count(old)}")
+    src = src.replace(old, new)
+    old = "			if (baseval)\n			{\n			ok += baseval;"
+    new = ("			if (baseval)\n			{\n"
+           "			if (reftrace_in_av)"
+           " fprintf(stderr, \"TP %d %u %u %d %d %d %d %d %.17g\\n\", n, genwidth,"
+           " flag, flag99, localshift, (int)inmarkerval.value(), flag2, update, baseval);\n"
+           "			ok += baseval;")
+    if src.count(old) != 1:
+        raise SystemExit(f"tp anchor count={src.count(old)}")
+    src = src.replace(old, new)
+    # (f) REFTRACE: accumulator state entering the parameter-update phase
+    # (haplobase/haplocount/negshift per marker; infprobs per side/allele).
+    old = '					fprintf(out, "SKEWNESS PASS: %d\\n", i);'
+    new = ('					fprintf(out, "SKEWNESS PASS: %d\\n", i);\n'
+           '					if (getenv("REFTRACE"))\n'
+           '					{\n'
+           '						for (size_t j = 0; j < ind->haplocount.size(); j++)\n'
+           '						{\n'
+           '							if (ind->haplobase[j] || ind->haplocount[j] || ind->negshift[j])\n'
+           '								fprintf(stderr, "ACC %d %d %.17g %.17g %.17g\\n", i, (int) j, ind->haplobase[j], ind->haplocount[j], ind->negshift[j]);\n'
+           '							for (int side = 0; side < 2; side++)\n'
+           '								for (auto& kv : ind->infprobs[j][side])\n'
+           '									fprintf(stderr, "INF %d %d %d %d %.17g\\n", i, (int) j, side, kv.first.value(), kv.second);\n'
+           '						}\n'
+           '					}')
+    if src.count(old) != 1:
+        raise SystemExit(f"skewness anchor count={src.count(old)}")
+    src = src.replace(old, new)
+    # (g) REFTRACE5: per-probe posterior weights in the doit probe loop.
+    old = ("									val = exp(val);\n"
+           "									int marker = -q - 1000;")
+    new = ("									val = exp(val);\n"
+           "									int marker = -q - 1000;\n"
+           "									if (getenv(\"REFTRACE5\"))"
+           " fprintf(stderr, \"PRB %d %d %d %d %d %.17g\\n\","
+           " dous[j]->n, marker, g, flag2, *(tb.shiftflagmode), val);")
+    if src.count(old) != 1:
+        raise SystemExit(f"prb anchor count={src.count(old)}")
+    src = src.replace(old, new)
+    old = ("		if (selfingNOW && extparams.gstr) *extparams.gstr *= 2;\n"
+           "		return ok;")
+    new = ("		if (selfingNOW && extparams.gstr) *extparams.gstr *= 2;\n"
+           "		if (reftrace_in_av)"
+           " fprintf(stderr, \"TPRET %d %u %u %d %d %d %.17g\\n\", n, genwidth,"
+           " flag, flag99, localshift, (int)inmarkerval.value(), ok);\n"
+           "		return ok;")
+    if src.count(old) != 1:
+        raise SystemExit(f"tpret anchor count={src.count(old)}")
+    src = src.replace(old, new)
     return src
 
 
