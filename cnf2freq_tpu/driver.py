@@ -63,8 +63,12 @@ class Driver:
         self.parity = parity
         # Canonical-path masks for probes/variances: "reference" = the
         # fixtrees mask, which also pins *empty* members
-        # (cnF2freq.cpp:3099-3187); "missing" pins only vacant slots.
-        self.mask_mode = "reference"
+        # (cnF2freq.cpp:3099-3187) — required for trajectory parity but
+        # it collapses path resolution through genotype-less parents;
+        # "missing" pins only vacant slots (the correct restriction,
+        # round-1 default — see tests/test_driver.py hidden-marker
+        # recovery).
+        self.mask_mode = "reference" if parity else "missing"
         # Feed the relskew machinery with measured adjacent-phase
         # coherence each iteration (the statistic relhaplo is designed to
         # carry; the reference's PlantImpute path leaves it inert at 0.5).
@@ -113,6 +117,27 @@ class Driver:
                 make_jitted_coherence(self.cfg, self.params))
         return self._scan_cache[key]
 
+    def _n_variants(self) -> int:
+        """4 probe-dedup sign variants when any analysis family has an
+        individual occupying two slots (probes.probe_rule_factors), else
+        1.  Only parity mode applies the ignoreflag2 dedup rules, so
+        non-parity drivers always use 1."""
+        if not self.parity:
+            return 1
+        key = ("n_variants",)
+        if key not in self._scan_cache:
+            n = 1
+            for d in self.ped.dous:
+                slots = self.ped.family_slots(d)
+                seen = set()
+                for s, sid in enumerate(slots):
+                    if sid and not self.ped.by_id(sid).empty:
+                        if sid in seen:
+                            n = 4
+                        seen.add(sid)
+            self._scan_cache[key] = n
+        return self._scan_cache[key]
+
     def _jitted_scan_merged(self, num_individuals: int):
         key = ("scan_merged", self.dtype, num_individuals)
         if key not in self._scan_cache:
@@ -120,7 +145,9 @@ class Driver:
                                  make_jitted_scan_merged)
             self._scan_cache[key] = (
                 make_jitted_scan_merged(self.cfg, self.params,
-                                        num_individuals),
+                                        num_individuals,
+                                        n_variants=self._n_variants(),
+                                        probe_rules=self.parity),
                 make_jitted_coherence(self.cfg, self.params))
         return self._scan_cache[key]
 
@@ -533,7 +560,8 @@ class Driver:
                 with self.tracer.span("gather"):
                     fbatch = gather_family(ped, chunk, lo, hi - 1,
                                            dtype=self.dtype,
-                                           mask_mode=self.mask_mode)
+                                           mask_mode=self.mask_mode,
+                                           parity=self.parity)
                     if Mp > Mc:
                         from .parallel.mesh import pad_markers
                         fbatch = pad_markers(fbatch, Mp)
@@ -847,7 +875,8 @@ class Driver:
         with self.tracer.span("gather"):
             fbatch = gather_family(ped, dous, lo, hi - 1,
                                    dtype=self.dtype,
-                                   mask_mode=self.mask_mode)
+                                   mask_mode=self.mask_mode,
+                                   parity=self.parity)
             if Mp > Mc:
                 fbatch = pad_markers(fbatch, Mp)
         NI = haplobase.shape[0]
@@ -857,7 +886,9 @@ class Driver:
                 else jnp.float64
             self._scan_cache[key] = v2.make_blocked_pieces(
                 self.cfg, self.params, dt, NI,
-                interpret=jax.default_backend() == "cpu")
+                interpret=jax.default_backend() == "cpu",
+                probe_rules=self.parity,
+                n_variants=self._n_variants())
         pieces = self._scan_cache[key]
         rows = np.array([ind_index[n] for n in dous])
         scored = []

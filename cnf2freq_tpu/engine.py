@@ -61,7 +61,9 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
                     params: RuntimeParams, with_infprobs: bool = True,
                     with_coherence: bool = False,
                     use_stats_pallas: bool = None,
-                    use_scan_v2: bool = None, ratemat=None) -> ScanResult:
+                    use_scan_v2: bool = None, ratemat=None,
+                    n_variants: int = 1,
+                    probe_rules: bool = False) -> ScanResult:
     if use_scan_v2 is None:
         use_scan_v2 = _scan_v2_default(cfg)
     stats_dtype_ok_v2 = (fb.ms.dtype == jnp.float32
@@ -74,7 +76,9 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
         from .ops.scan_v2 import chromosome_scan_v2
         return chromosome_scan_v2(fb, dists, cfg, params,
                                   interpret=jax.default_backend() == "cpu",
-                                  ratemat=ratemat)
+                                  ratemat=ratemat,
+                                  probe_rules=probe_rules,
+                                  n_variants=n_variants)
     blocks = build_blocks(fb, cfg, dtype=fb.ms.dtype)
     e = assemble_e_all(blocks, cfg)
     fbres = forward_backward(e, dists, cfg, params, ratemat=ratemat)
@@ -93,7 +97,8 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
         from .ops.stats_pallas import stats_pallas
         b12, inf_accum, pair = stats_pallas(
             fb, fbres.fw_pre, fbres.bw, fbres.fw_pre_f, fbres.bw_f,
-            total, cfg, interpret=jax.default_backend() == "cpu")
+            total, cfg, interpret=jax.default_backend() == "cpu",
+            probe_rules=probe_rules, n_variants=n_variants)
         hmask = haplo_update_mask(fb, cfg)
         turn_w = turn_weights_fast(fbres, fb, cfg)
         if with_coherence:
@@ -109,17 +114,38 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
                           fw_pre=fbres.fw_pre, bw=fbres.bw,
                           fw_pre_f=fbres.fw_pre_f, bw_f=fbres.bw_f)
     W = posterior_weight(fbres, total, fb.shiftignore)
-    # collapse each parent branch against the posterior once; shared by
-    # the haplo and infprob contractions (probes.side_collapse)
-    from .hmm.probes import _valid_paths, _w_bits, side_collapse
+    # collapse each parent branch against the posterior once per probe
+    # dedup variant; shared by the haplo and infprob contractions.
+    # Variants implement ignoreflag2's duplicate-member rule (probes.
+    # probe_rule_factors): their average is the exact constrained sum.
+    from .hmm.probes import (_valid_paths, _w_bits, probe_rule_factors,
+                             side_collapse)
     V = [_valid_paths(fb.flag2ignore, k).astype(W.dtype) for k in range(2)]
     PBm = [blocks.pb[k] * V[k][:, None, None, None, :, None]
            for k in range(2)]
-    t01 = side_collapse(PBm, _w_bits(W, cfg))
-    hs = haplo_stats(W, blocks, fb, cfg, t01=t01)
+    Wr = _w_bits(W, cfg)
+    b12s, infs, pairs = [], [], []
+    hmask = None
+    for v in range(n_variants if probe_rules else 1):
+        if probe_rules:
+            F0, FPs = probe_rule_factors(fb, cfg, e.dtype, v)
+            frootv = blocks.froot * F0
+            PBv = [PBm[k] * FPs[k] for k in range(2)]
+        else:
+            frootv, PBv = blocks.froot, PBm
+        t01 = side_collapse(PBv, Wr)
+        hs = haplo_stats(W, blocks, fb, cfg, t01=t01, froot=frootv, PB=PBv)
+        hmask = hs.mask
+        b12s.append(hs.b12)
+        if with_infprobs:
+            ist = infprob_stats(W, blocks, fb, cfg, t01=t01, froot=frootv,
+                                PB=PBv)
+            infs.append(ist.accum)
+            pairs.append(ist.pair)
+    nv = len(b12s)
+    hs = hs._replace(b12=sum(b12s) / nv)
     if with_infprobs:
-        ist = infprob_stats(W, blocks, fb, cfg, t01=t01)
-        inf_accum, pair = ist.accum, ist.pair
+        inf_accum, pair = sum(infs) / nv, sum(pairs) / nv
     else:
         inf_accum = jnp.zeros((B, M, cfg.numslots, 2, 2), dtype=e.dtype)
         pair = jnp.zeros((B, M, 2, 2), dtype=e.dtype)
@@ -139,16 +165,20 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
 
 
 def make_jitted_scan(cfg: ModelConfig, params: RuntimeParams,
-                     with_infprobs: bool = True):
+                     with_infprobs: bool = True, n_variants: int = 1,
+                     probe_rules: bool = False):
     @jax.jit
     def run(fb: FamilyBatch, dists):
-        return chromosome_scan(fb, dists, cfg, params, with_infprobs)
+        return chromosome_scan(fb, dists, cfg, params, with_infprobs,
+                               n_variants=n_variants,
+                               probe_rules=probe_rules)
 
     return run
 
 
 def make_jitted_scan_merged(cfg: ModelConfig, params: RuntimeParams,
-                            num_individuals: int):
+                            num_individuals: int, n_variants: int = 1,
+                            probe_rules: bool = False):
     """Scan + on-device accumulator merge: the per-family statistics are
     segment-summed onto per-individual accumulator rows before leaving
     the device, so [NI, M]-shaped merged tensors cross the host link
@@ -158,12 +188,16 @@ def make_jitted_scan_merged(cfg: ModelConfig, params: RuntimeParams,
 
     @jax.jit
     def run(fb: FamilyBatch, dists, lut, ratemat):
-        res = chromosome_scan(fb, dists, cfg, params, ratemat=ratemat)
+        res = chromosome_scan(fb, dists, cfg, params, ratemat=ratemat,
+                              n_variants=n_variants,
+                              probe_rules=probe_rules)
         hb, hc = merge_haplos(res.haplo_b12, res.haplo_mask, fb.hw,
                               fb.slot_ind, fb.descendants, lut,
                               num_individuals)
         inf = merge_infprobs(res.inf_accum, fb.slot_ind, fb.descendants,
-                             lut, num_individuals)
+                             lut, num_individuals,
+                             emptyslot=fb.emptyslot if probe_rules
+                             else None)
         return res, hb, hc, inf
 
     return run

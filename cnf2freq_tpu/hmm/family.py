@@ -39,6 +39,13 @@ class FamilyBatch:
     shiftignore: np.ndarray  # [B] int32 disabled shift modes
     descendants: np.ndarray  # [B] int32
     slot_ind: np.ndarray    # [B, 7] int32 global individual ids (0 = none)
+    # probe dedup inputs (ignoreflag2 rules 2-3, cnF2freq.cpp:3462-3496):
+    # emptyslot marks members outside fixtrees' relmap (genotype-less,
+    # cnF2freq.cpp:6511-6524); dup_flip[b, v, slot] says variant v applies
+    # a (-1)^(phase bit) sign at that slot — the 4-variant average is the
+    # exact indicator of phase-bit equality across duplicate-member slots
+    emptyslot: np.ndarray = None   # [B, 7] bool
+    dup_flip: np.ndarray = None    # [B, 4, 7] bool
 
     @property
     def num_units(self) -> int:
@@ -71,9 +78,14 @@ except Exception:  # pragma: no cover
 
 def gather_family(ped: Pedigree, focal_ids: Sequence[int],
                   startmark: int, endmark: int,
-                  dtype=np.float64, mask_mode: str = "missing") -> \
+                  dtype=np.float64, mask_mode: str = "missing",
+                  parity: bool = False) -> \
         FamilyBatch:
     """Build the batch for markers [startmark, endmark] inclusive.
+
+    parity enables reference-exact quirks: the gen<2 shift-mode
+    truncation (cnF2freq.cpp:5359) and strict probe-dedup validation
+    (>2 duplicate slots raise instead of being approximated).
 
     mask_mode selects the canonical-path mask: "missing" (default) pins
     only vacant slots — the correct restriction; "reference" reproduces
@@ -93,6 +105,8 @@ def gather_family(ped: Pedigree, focal_ids: Sequence[int],
     shig = np.zeros(B, dtype=np.int32)
     desc = np.zeros(B, dtype=np.int32)
     slot_ind = np.zeros((B, S), dtype=np.int32)
+    emptyslot = np.zeros((B, S), dtype=bool)
+    dup_flip = np.zeros((B, 4, S), dtype=bool)
 
     sl = slice(startmark, endmark + 1)
     for b, n in enumerate(focal_ids):
@@ -102,18 +116,46 @@ def gather_family(ped: Pedigree, focal_ids: Sequence[int],
         slots = ped.family_slots(n)
         focal = ped.by_id(n)
         desc[b] = focal.descendants
+        if parity and focal.gen < 2:
+            # the reference truncates gen<2 analysis to shift modes {0,1}
+            # (cnF2freq.cpp:5359); default mode keeps the full symmetric
+            # shift set (a superset — harmless, and avoids special cases)
+            shig[b] |= (cfg.numshifts - 1) & ~1
         for s, sid in enumerate(slots):
             if not sid:
                 continue
             ind = ped.by_id(sid)
             exists[b, s] = True
             slot_ind[b, s] = sid
+            emptyslot[b, s] = ind.empty
             md[b, s] = ind.markerdata[sl]
             ms[b, s] = ind.markersure[sl]
             hw[b, s] = ind.haploweight[sl]
             # grandparent slots are tops by depth; others by founder flag
             is_gp = s not in (0, cfg.parent_slot(0), cfg.parent_slot(1))
             attop[b, s] = ind.founder or (is_gp and cfg.numgen == 3)
+        # duplicate-member slot pairs (fixtrees relmap members with
+        # multiple flag2 bits): probe stats must tie their phase bits
+        groups = {}
+        for s, sid in enumerate(slots):
+            if sid and not emptyslot[b, s]:
+                groups.setdefault(sid, []).append(s)
+        pairs = [v for v in groups.values() if len(v) > 1]
+        if parity and any(len(v) > 2 for v in pairs):
+            raise NotImplementedError(
+                "an individual occupies more than two family slots "
+                "(deep inbreeding); the tensorized probe dedup supports "
+                "pairs only")
+        if parity and len(pairs) > 2:
+            raise NotImplementedError(
+                "more than two duplicate-member pairs in one family")
+        pairs = [v for v in pairs if len(v) == 2][:2]
+        for pi, pair in enumerate(pairs):
+            for v in range(4):
+                if (v >> pi) & 1:
+                    dup_flip[b, v, pair[0]] = True
+                    dup_flip[b, v, pair[1]] = True
     return FamilyBatch(md=md, ms=ms, hw=hw, exists=exists, attop=attop,
                        flag2ignore=f2ig, shiftignore=shig, descendants=desc,
-                       slot_ind=slot_ind)
+                       slot_ind=slot_ind, emptyslot=emptyslot,
+                       dup_flip=dup_flip)

@@ -74,6 +74,67 @@ def _valid_paths(flag2ignore: jnp.ndarray, k: int) -> jnp.ndarray:
     return (np.arange(8)[None, :] & f2) == 0
 
 
+def probe_rule_factors(fb: FamilyBatch, cfg: ModelConfig, dtype,
+                       variant: int = 0):
+    """Multiplicative probe-survival factors for ignoreflag2 rules 2-3
+    (cnF2freq.cpp:3462-3496), applied to the stats contractions.
+
+    Rule 3 (shift-tied dedup): a relmap member whose genotype is a
+    duplicate pair with equal error values admits a probe only when its
+    phase-interpretation bit disagrees with its shift bit — focal:
+    r0 != s0; parent k: (rp ^ p0) != s_{1+k}; grandparent: phase bit == 1.
+
+    Rule 2 (duplicate-member consistency): an individual occupying two
+    slots requires equal phase bits across them.  The equality indicator
+    is the average of the four sign variants encoded in fb.dup_flip
+    ((1 + (-1)^(x_i + x_j)) / 2 per pair); callers average the stats of
+    `variant` = 0..3 (or just variant 0 when no duplicates exist).
+
+    Returns (F0 [b, m, r0, s0], [FPk [b, m, 1, fp, fpath, sk] for k])."""
+    ones = np.ones((), dtype=np.dtype(str(dtype)))
+    md, ms = fb.md, fb.ms
+    tied = fb.exists[:, :, None] & ~fb.emptyslot[:, :, None] & \
+        (md[..., 0] == md[..., 1]) & (ms[..., 0] == ms[..., 1])
+    tied = jnp.moveaxis(tied, 1, 2)                    # [b, m, slot]
+
+    r0 = np.arange(2)[:, None]
+    s0 = np.arange(2)[None, :]
+    f_allow = jnp.asarray((r0 ^ s0) * ones)            # [r0, s0]
+    F0 = jnp.where(tied[:, :, 0, None, None], f_allow, 1.0)
+    if fb.dup_flip is not None:
+        sgn0 = jnp.asarray(((-1.0) ** r0[:, 0]) * ones)
+        F0 = F0 * jnp.where(fb.dup_flip[:, variant, 0, None, None, None],
+                            sgn0[None, None, :, None], 1.0)
+
+    fp = np.arange(8)[:, None, None]
+    fpath = np.arange(8)[None, :, None]
+    sk = np.arange(2)[None, None, :]
+    xp = (fp & 1) ^ (fpath & 1)                        # parent phase bit
+    p_allow = jnp.asarray((xp ^ sk) * ones)            # [fp, fpath, sk]
+    p_sign = jnp.asarray((-1.0) ** xp * ones)
+    FPs = []
+    for k in range(2):
+        f = jnp.ones((fb.md.shape[0], fb.md.shape[2], 8, 8, 2),
+                     dtype=dtype)
+        ps = cfg.parent_slot(k)
+        f = f * jnp.where(tied[:, :, ps, None, None, None], p_allow, 1.0)
+        if fb.dup_flip is not None:
+            f = f * jnp.where(
+                fb.dup_flip[:, variant, ps, None, None, None, None],
+                p_sign, 1.0)
+        for j in range(2):
+            gs = cfg.grandparent_slot(k, j)
+            xg = jnp.asarray((((fp >> (1 + j)) & 1) ^
+                              ((fpath >> (1 + j)) & 1)) * ones)
+            f = f * jnp.where(tied[:, :, gs, None, None, None], xg, 1.0)
+            if fb.dup_flip is not None:
+                f = f * jnp.where(
+                    fb.dup_flip[:, variant, gs, None, None, None, None],
+                    (-1.0) ** xg, 1.0)
+        FPs.append(f[:, :, None])                      # add r0 axis
+    return F0, FPs
+
+
 class HaploStats(NamedTuple):
     """b1/b2 accumulations per family slot (the threadprivate ``haplos``
     store, cnF2freq.cpp:379, 1347-1350) plus the per-slot mask of slots
@@ -96,22 +157,27 @@ def side_collapse(PB, Wr):
 
 def haplo_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
                 cfg: ModelConfig, ci: bool = False,
-                t01=None) -> HaploStats:
+                t01=None, froot=None, PB=None) -> HaploStats:
     """Posterior-weighted phase-interpretation counts per slot: the exact
     tensor form of summing updatehaplo over all (q, g, flag2, shift) probes
     (cnF2freq.cpp:5556, 1561-1575).
 
     t01: optional precomputed side_collapse result (shared with
-    infprob_stats by the engine)."""
+    infprob_stats by the engine).  froot/PB: optional pre-decorated
+    tensors (canonical-path masks + probe_rule_factors applied)."""
     Wr = _w_bits(W, cfg)
-    froot, pb = blocks.froot, blocks.pb
-    V = [_valid_paths(fb.flag2ignore, k).astype(W.dtype) for k in range(2)]
+    if froot is None:
+        froot = blocks.froot
+    if PB is None:
+        V = [_valid_paths(fb.flag2ignore, k).astype(W.dtype)
+             for k in range(2)]
+        PB = [blocks.pb[k] * V[k][:, None, None, None, :, None]
+              for k in range(2)]
     IND_P = jnp.asarray(_IND_PARENT, dtype=W.dtype)
     IND_G = [jnp.asarray(x, dtype=W.dtype) for x in _IND_GP]
 
-    # path-summed blocks under the canonical mask
-    pbs = [jnp.einsum("zmrfps,zp->zmrfs", pb[k], V[k]) for k in range(2)]
-    PB = [pb[k] * V[k][:, None, None, None, :, None] for k in range(2)]
+    # path-summed blocks (canonical mask already applied)
+    pbs = [PB[k].sum(axis=-2) for k in range(2)]
     if t01 is None:
         t01 = side_collapse(PB, Wr)
     T1, T0 = t01
@@ -400,7 +466,7 @@ def _share_blocks(fb: FamilyBatch, cfg: ModelConfig, side: int, mv: int,
 
 def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
                   cfg: ModelConfig, ci: bool = False,
-                  t01=None) -> InfprobStats:
+                  t01=None, froot=None, PB=None) -> InfprobStats:
     """For every (b, m): the GENOS accumulator additions per family slot,
     allele slot and candidate allele, plus the joint ordered-genotype
     posterior.
@@ -411,9 +477,13 @@ def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
     materialisation."""
     dtype = W.dtype
     Wr = _w_bits(W, cfg)
-    froot, pb = blocks.froot, blocks.pb
-    V = [_valid_paths(fb.flag2ignore, k).astype(dtype) for k in range(2)]
-    PB = [pb[k] * V[k][:, None, None, None, :, None] for k in range(2)]
+    if froot is None:
+        froot = blocks.froot
+    if PB is None:
+        V = [_valid_paths(fb.flag2ignore, k).astype(dtype)
+             for k in range(2)]
+        PB = [blocks.pb[k] * V[k][:, None, None, None, :, None]
+              for k in range(2)]
 
     # share tensors per (side, mv), aligned to the standard probe's r axis
     shares = {}

@@ -66,6 +66,8 @@ class SlotTensors(NamedTuple):
     at: jnp.ndarray    # [7, nb, TS, TL] int32
     f2: jnp.ndarray    # [nb, TS, TL] int32
     sh: jnp.ndarray    # [nb, TS, TL] int32
+    em: jnp.ndarray    # [7, nb, TS, TL] int32 (emptyslot)
+    df: jnp.ndarray    # [4, 7, nb, TS, TL] int32 (dup_flip variants)
 
     @property
     def nb(self) -> int:
@@ -88,11 +90,15 @@ def prep_slots(fb: FamilyBatch, dtype) -> SlotTensors:
     at = padb(fb.attop.astype(jnp.int32)).T
     f2 = padb(fb.flag2ignore)
     sh = padb(fb.shiftignore)
+    em = padb(fb.emptyslot.astype(jnp.int32)).T            # [7, R]
+    df = jnp.transpose(padb(fb.dup_flip.astype(jnp.int32)),
+                       (1, 2, 0))                          # [4, 7, R]
     t = (nb, _TS, _TL)
     return SlotTensors(
         md=md.reshape((7, 2, M) + t), ms=ms.reshape((7, 2, M) + t),
         hw=hw.reshape((7, M) + t), ex=ex.reshape((7,) + t),
-        at=at.reshape((7,) + t), f2=f2.reshape(t), sh=sh.reshape(t))
+        at=at.reshape((7,) + t), f2=f2.reshape(t), sh=sh.reshape(t),
+        em=em.reshape((7,) + t), df=df.reshape((4, 7) + t))
 
 
 # ---------------------------------------------------------------------------
@@ -354,7 +360,8 @@ def fb_scan_v2_block(e: jnp.ndarray, lam_pad: jnp.ndarray, p0, f0, bT,
 
 
 def make_blocked_pieces(cfg: ModelConfig, params: RuntimeParams, dtype,
-                        num_individuals: int, interpret: bool = False):
+                        num_individuals: int, interpret: bool = False,
+                        probe_rules: bool = False, n_variants: int = 1):
     """Jitted building blocks for the marker-blocked scan, shared across
     blocks/chunks/iterations (one compile per block shape)."""
     from ..hmm.probes import haplo_update_mask
@@ -373,12 +380,15 @@ def make_blocked_pieces(cfg: ModelConfig, params: RuntimeParams, dtype,
     @functools.partial(jax.jit, static_argnames=("K", "B"))
     def block_stats(st, fb2, total_r, lut, fb_blk, K: int, B: int):
         b12, accum, pair = stats_from_v2(st, fb2, total_r, K, B, cfg,
-                                         dtype, interpret=interpret)
+                                         dtype, interpret=interpret,
+                                         probe_rules=probe_rules,
+                                         n_variants=n_variants)
         hmask = haplo_update_mask(fb_blk, cfg)
         hb, hc = merge_haplos(b12, hmask, fb_blk.hw, fb_blk.slot_ind,
                               fb_blk.descendants, lut, num_individuals)
         inf = merge_infprobs(accum, fb_blk.slot_ind, fb_blk.descendants,
-                             lut, num_individuals)
+                             lut, num_individuals,
+                             emptyslot=fb_blk.emptyslot)
         return pair, hb, hc, inf
 
     def turn_fn(fb2, sh, desc, B):
@@ -839,11 +849,13 @@ def turn_weights_v2_pallas(fb2: FBv2, sh: jnp.ndarray,
 # ---------------------------------------------------------------------------
 def stats_from_v2(st: SlotTensors, fb2: FBv2, total: jnp.ndarray,
                   M: int, B: int, cfg: ModelConfig, dtype,
-                  interpret: bool = False):
+                  interpret: bool = False, probe_rules: bool = False,
+                  n_variants: int = 1):
     """(b12 [B,M,7,2], accum [B,M,7,2,2], pair [B,M,2,2]): the fused
     stats kernel (ops/stats_pallas._kernel) reading every operand
     directly from the v2 tensors — tile (i) = (marker i // nb,
-    batch-tile i % nb)."""
+    batch-tile i % nb).  probe_rules/n_variants as in
+    ops.stats_pallas.stats_pallas."""
     nb = st.nb
     nt = M * nb
     R = nb * _TN
@@ -858,11 +870,13 @@ def stats_from_v2(st: SlotTensors, fb2: FBv2, total: jnp.ndarray,
         return bspec((7, 2, 1, 1, _TS, _TL),
                      lambda i: (0, 0) + mb(i) + (0, 0))
 
+    def b7_spec():          # ex/at/em/df-variant [7, nb, TS, TL]
+        return bspec((7, 1, _TS, _TL), lambda i: (0, i % nb, 0, 0))
+
     specs = [
         slot_spec(), slot_spec(),
         bspec((7, 1, 1, _TS, _TL), lambda i: (0,) + mb(i) + (0, 0)),
-        bspec((7, 1, _TS, _TL), lambda i: (0, i % nb, 0, 0)),
-        bspec((7, 1, _TS, _TL), lambda i: (0, i % nb, 0, 0)),
+        b7_spec(), b7_spec(), b7_spec(), b7_spec(),
         bspec((1, _TS, _TL), lambda i: (i % nb, 0, 0)),
         bspec((1, _TS, _TL), lambda i: (i % nb, 0, 0)),
         # fw_pre/bw [M, X, R] viewed as [M, X, nb, TS, TL]
@@ -881,8 +895,8 @@ def stats_from_v2(st: SlotTensors, fb2: FBv2, total: jnp.ndarray,
         return bspec((lead, 1, _TS, _TL), lambda i: (0, i, 0, 0))
 
     t5 = (nb, _TS, _TL)
-    b12t, acct, pairt = pl.pallas_call(
-        functools.partial(sp._kernel, cfg=cfg),
+    call = pl.pallas_call(
+        functools.partial(sp._kernel, cfg=cfg, rules=probe_rules),
         grid=(nt,),
         in_specs=specs,
         out_specs=(out_spec(14), out_spec(28), out_spec(4)),
@@ -895,10 +909,17 @@ def stats_from_v2(st: SlotTensors, fb2: FBv2, total: jnp.ndarray,
             dimension_semantics=("parallel",),   # tiles are independent
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(st.md, st.ms, st.hw, st.ex, st.at, st.f2, st.sh,
-      fb2.fw_pre.reshape((M, 512) + t5), fb2.bw.reshape((M, 512) + t5),
-      fb2.fw_pre_f.reshape((M, 8) + t5), fb2.bw_f.reshape((M, 8) + t5),
-      jnp.broadcast_to(total.reshape(t5), t5))
+    )
+    outs = []
+    for v in range(n_variants if probe_rules else 1):
+        df = st.df[v] if probe_rules else st.em
+        outs.append(call(
+            st.md, st.ms, st.hw, st.ex, st.at, st.em, df, st.f2, st.sh,
+            fb2.fw_pre.reshape((M, 512) + t5), fb2.bw.reshape((M, 512) + t5),
+            fb2.fw_pre_f.reshape((M, 8) + t5), fb2.bw_f.reshape((M, 8) + t5),
+            jnp.broadcast_to(total.reshape(t5), t5)))
+    nv = len(outs)
+    b12t, acct, pairt = (sum(parts) / nv for parts in zip(*outs))
 
     def back(x, shape):
         lead = x.shape[0]
@@ -915,7 +936,8 @@ def stats_from_v2(st: SlotTensors, fb2: FBv2, total: jnp.ndarray,
 # ---------------------------------------------------------------------------
 def chromosome_scan_v2(fb: FamilyBatch, dists: jnp.ndarray,
                        cfg: ModelConfig, params: RuntimeParams,
-                       interpret: bool = False, ratemat=None):
+                       interpret: bool = False, ratemat=None,
+                       probe_rules: bool = False, n_variants: int = 1):
     """engine.chromosome_scan on the feature-leading pipeline.
 
     Returns an engine.ScanResult; the fw/bw sweep tensors are converted
@@ -947,7 +969,9 @@ def chromosome_scan_v2(fb: FamilyBatch, dists: jnp.ndarray,
                          ratemat=ratemat)
     total_r = combined_loglik_v2(fb2, st.sh)
     b12, accum, pair = stats_from_v2(st, fb2, total_r, M, B, cfg, dtype,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     probe_rules=probe_rules,
+                                     n_variants=n_variants)
     if interpret:
         turn_w = turn_weights_v2(fb2, st.sh, fb.descendants.astype(dtype),
                                  cfg, B)

@@ -244,16 +244,64 @@ def root_block_L(focal: SlotL, haplotyping: bool = True, inval=None,
     return froot, up(bound), up(msA), up(vB), up(svB)
 
 
+def _rule_factors_tile(md, ms, exists, empty, dupf, cfg: ModelConfig,
+                       dtype):
+    """Probe-survival factors for ignoreflag2 rules 2-3
+    (cnF2freq.cpp:3462-3496) on in-VMEM tile operands; the kernel form
+    of hmm.probes.probe_rule_factors (same algebra, enum axes leading).
+
+    empty [7,*T] int32 (1 = genotype-less member outside fixtrees'
+    relmap); dupf [7,*T] int32 (this variant's duplicate-pair sign
+    slots) or None.
+    Returns (F0 [2(r0),2(s0),*T], [FPk [8(f),8(p),2(sk),*T)] for k])."""
+    def tied(s):
+        return (exists[s] & (empty[s] == 0) & (md[s, 0] == md[s, 1])
+                & (ms[s, 0] == ms[s, 1]))
+
+    ri = _iota((2, 1) + (1,) * DATA_ND, 0)
+    ti = _iota((1, 2) + (1,) * DATA_ND, 1)
+    F0 = jnp.where(tied(0)[None, None], (ri ^ ti).astype(dtype), 1.0)
+    if dupf is not None:
+        F0 = F0 * jnp.where(dupf[0][None, None] != 0,
+                            1.0 - 2.0 * ri.astype(dtype), 1.0)
+    fi = _iota((8, 1, 1) + (1,) * DATA_ND, 0)
+    pi = _iota((1, 8, 1) + (1,) * DATA_ND, 1)
+    si = _iota((1, 1, 2) + (1,) * DATA_ND, 2)
+    FPs = []
+    for k in range(2):
+        xp = (fi & 1) ^ (pi & 1)
+        ps = cfg.parent_slot(k)
+        f = jnp.where(tied(ps)[None, None, None],
+                      (xp ^ si).astype(dtype), 1.0)
+        if dupf is not None:
+            f = f * jnp.where(dupf[ps][None, None, None] != 0,
+                              1.0 - 2.0 * xp.astype(dtype), 1.0)
+        for j in range(2):
+            gs = cfg.grandparent_slot(k, j)
+            xg = ((fi >> (1 + j)) & 1) ^ ((pi >> (1 + j)) & 1)
+            f = f * jnp.where(tied(gs)[None, None, None],
+                              xg.astype(dtype), 1.0)
+            if dupf is not None:
+                f = f * jnp.where(dupf[gs][None, None, None] != 0,
+                                  1.0 - 2.0 * xg.astype(dtype), 1.0)
+        FPs.append(f)
+    return F0, FPs
+
+
 # ---------------------------------------------------------------------------
 # The tile computation (pure jnp — runs in-kernel and in tests)
 # ---------------------------------------------------------------------------
 def stats_tile(md, ms, hw, exists, attop, f2ig, shig, fw_pre, bw,
-               fw_pre_f, bw_f, total, cfg: ModelConfig):
+               fw_pre_f, bw_f, total, cfg: ModelConfig,
+               empty=None, dupf=None):
     """All update statistics for one tile of bm pairs.
 
     md [7,2,*T] int32; ms [7,2,*T]; hw [7,*T]; exists/attop [7,*T] bool;
     f2ig/shig [*T] int32; fw_pre/bw [8,8,2,2,2,*T] (fp1,fp0,s2,s1,s0);
-    fw_pre_f/bw_f [2,2,2,*T]; total [*T].
+    fw_pre_f/bw_f [2,2,2,*T]; total [*T]; empty/dupf [7,*T] int32 or
+    None (probe-dedup inputs — when empty is given, the ignoreflag2
+    rule 2-3 factors decorate froot and the parent blocks exactly as in
+    engine.chromosome_scan's XLA path).
     Returns (b12 [7,2,*T], accum [7,2,2,*T], pair [2,2,*T]).
     """
     dtype = hw.dtype
@@ -284,6 +332,15 @@ def stats_tile(md, ms, hw, exists, attop, f2ig, shig, fw_pre, bw,
         V = jnp.stack([((bits & p) == 0).astype(dtype)
                        for p in range(8)], axis=0)           # [8, *T]
         PBm.append(pb[k] * V[None, None, :, None])
+
+    if empty is not None:
+        # ignoreflag2 rule 2-3 probe-dedup factors (same decoration as
+        # the engine's XLA contraction path; the undecorated share
+        # tensors below match _share_blocks there)
+        F0, FPs = _rule_factors_tile(md, ms, exists, empty, dupf, cfg,
+                                     dtype)
+        froot = froot * F0
+        PBm = [PBm[k] * FPs[k][None] for k in range(2)]
 
     # posterior weight W[b(fp1), a(fp0), v(s2), u(s1), t(s0)]
     s2 = _iota((2, 1, 1) + (1,) * DATA_ND, 0)
@@ -449,15 +506,19 @@ _TS, _TL = 8, 128          # tile = 8 sublanes x 128 lanes of bm pairs
 _TN = _TS * _TL
 
 
-def _kernel(md_ref, ms_ref, hw_ref, ex_ref, at_ref, f2_ref, sh_ref,
+def _kernel(md_ref, ms_ref, hw_ref, ex_ref, at_ref, em_ref, df_ref,
+            f2_ref, sh_ref,
             fwp_ref, bw_ref, fwf_ref, bwf_ref, tot_ref,
-            b12_ref, acc_ref, pair_ref, *, cfg: ModelConfig):
+            b12_ref, acc_ref, pair_ref, *, cfg: ModelConfig,
+            rules: bool = False):
     T = (_TS, _TL)
     md = md_ref[:].reshape((7, 2) + T)
     ms = ms_ref[:].reshape((7, 2) + T)
     hw = hw_ref[:].reshape((7,) + T)
     exists = ex_ref[:].reshape((7,) + T) != 0
     attop = at_ref[:].reshape((7,) + T) != 0
+    empty = em_ref[:].reshape((7,) + T) if rules else None
+    dupf = df_ref[:].reshape((7,) + T) if rules else None
     f2ig = f2_ref[:].reshape(T)
     shig = sh_ref[:].reshape(T)
     # feature index is shift-major (ns*64 + g: the cheap block-transpose
@@ -474,7 +535,8 @@ def _kernel(md_ref, ms_ref, hw_ref, ex_ref, at_ref, f2_ref, sh_ref,
     total = tot_ref[:].reshape(T)
 
     b12, accum, pair = stats_tile(md, ms, hw, exists, attop, f2ig, shig,
-                                  fw_pre, bw, fw_pre_f, bw_f, total, cfg)
+                                  fw_pre, bw, fw_pre_f, bw_f, total, cfg,
+                                  empty=empty, dupf=dupf)
     b12_ref[:] = b12.reshape(b12_ref.shape)
     acc_ref[:] = accum.reshape(acc_ref.shape)
     pair_ref[:] = pair.reshape(pair_ref.shape)
@@ -489,15 +551,20 @@ def _to_tiles(x, n_orig, nt):
     return x.reshape(lead, nt, _TS, _TL)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret",
+                                              "probe_rules", "n_variants"))
 def stats_pallas(fb, fw_pre, bw, fw_pre_f, bw_f, total,
-                 cfg: ModelConfig, interpret: bool = False):
+                 cfg: ModelConfig, interpret: bool = False,
+                 probe_rules: bool = False, n_variants: int = 1):
     """Fused stats for the standard F2 engine.
 
     fb: FamilyBatch ([B, 7, M, ...] arrays); fw_pre/bw [B, M, NS, S]
     (state minor — the transpose to tiles is then a contiguous
     512-float block copy per (b, m) pair); fw_pre_f/bw_f [B, M, NS];
     total [B].
+    probe_rules: apply the ignoreflag2 rule 2-3 probe-dedup factors
+    (cnF2freq.cpp:3462-3496); n_variants > 1 averages the duplicate-
+    member sign variants (see hmm.probes.probe_rule_factors).
     Returns (b12 [B,M,7,2], accum [B,M,7,2,2], pair [B,M,2,2])."""
     B, _, M, _ = fb.md.shape
     N = B * M
@@ -509,12 +576,15 @@ def stats_pallas(fb, fw_pre, bw, fw_pre_f, bw_f, total,
                                  (1, 3, 0, 2)).reshape(14, N), N, nt)
     hw = _to_tiles(jnp.transpose(fb.hw.astype(dtype),
                                  (1, 0, 2)).reshape(7, N), N, nt)
-    ex = _to_tiles(jnp.broadcast_to(
-        fb.exists.astype(jnp.int32).T[:, :, None], (7, B, M)).reshape(7, N),
-        N, nt)
-    at = _to_tiles(jnp.broadcast_to(
-        fb.attop.astype(jnp.int32).T[:, :, None], (7, B, M)).reshape(7, N),
-        N, nt)
+
+    def bcast7(x):      # [B, 7] -> [7, nt, TS, TL] over the marker axis
+        return _to_tiles(jnp.broadcast_to(
+            x.astype(jnp.int32).T[:, :, None], (7, B, M)).reshape(7, N),
+            N, nt)
+
+    ex = bcast7(fb.exists)
+    at = bcast7(fb.attop)
+    em = bcast7(fb.emptyslot)
     f2 = _to_tiles(jnp.broadcast_to(
         fb.flag2ignore[:, None], (B, M)).reshape(1, N), N, nt)[0]
     sh = _to_tiles(jnp.broadcast_to(
@@ -539,10 +609,11 @@ def stats_pallas(fb, fw_pre, bw, fw_pre_f, bw_f, total,
         jax.ShapeDtypeStruct((28, nt, _TS, _TL), dtype),    # accum [7*2*2]
         jax.ShapeDtypeStruct((4, nt, _TS, _TL), dtype),     # pair [2*2]
     )
-    b12t, acct, pairt = pl.pallas_call(
-        functools.partial(_kernel, cfg=cfg),
+    call = pl.pallas_call(
+        functools.partial(_kernel, cfg=cfg, rules=probe_rules),
         grid=(nt,),
         in_specs=[spec(14), spec(14), spec(7), spec(7), spec(7),
+                  spec(7), spec(7),
                   spec(0), spec(0), spec(512), spec(512), spec(8), spec(8),
                   spec(0)],
         out_specs=(spec(14), spec(28), spec(4)),
@@ -553,7 +624,15 @@ def stats_pallas(fb, fw_pre, bw, fw_pre_f, bw_f, total,
             # share tensors); the 16 MB default is too tight, v5e has 128
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(md, ms, hw, ex, at, f2, sh, fwp, bwt, fwf, bwf, tot)
+    )
+
+    outs = []
+    for v in range(n_variants if probe_rules else 1):
+        df = bcast7(fb.dup_flip[:, v]) if probe_rules else em
+        outs.append(call(md, ms, hw, ex, at, em, df, f2, sh,
+                         fwp, bwt, fwf, bwf, tot))
+    nv = len(outs)
+    b12t, acct, pairt = (sum(parts) / nv for parts in zip(*outs))
 
     def back(x, shape):
         lead = x.shape[0]

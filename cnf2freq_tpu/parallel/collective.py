@@ -98,15 +98,21 @@ def merge_haplos(b12, mask, hw, slot_ind, descendants, lut,
 
 
 def merge_infprobs(accum, slot_ind, descendants, lut,
-                   num_individuals: int, axis_name: str = None):
+                   num_individuals: int, axis_name: str = None,
+                   emptyslot=None):
     """Device-side moveinfprobs (cnF2freq.cpp:3577-3597): normalise by
     the focal's slot-0 mass, fold duplicate slots with 2/2^cnt damping,
-    scale by descendants, segment-sum onto [NI, M, 2, 2]."""
+    scale by descendants, segment-sum onto [NI, M, 2, 2].
+
+    cnt counts occurrences in the reference's reltreeordered, which only
+    holds non-empty members (cnF2freq.cpp:3127-3152) — an empty member
+    counts 0 and so gets the undamped factor 2."""
     B, M, S = accum.shape[:3]
     dtype = accum.dtype
     eq, first = _dup_masks_j(slot_ind)
     eqf = eq.astype(dtype)
-    cnt = eq.sum(axis=2).astype(dtype)                  # [B, S]
+    cnt_in = eq if emptyslot is None else eq & ~emptyslot[:, None, :]
+    cnt = cnt_in.sum(axis=2).astype(dtype)              # [B, S]
 
     fsum = accum[:, :, 0, 0, :].sum(axis=-1)            # [B, M]
     inv = jnp.where(fsum > 0, 1.0 / jnp.where(fsum > 0, fsum, 1.0), 0.0)
@@ -161,7 +167,8 @@ def make_sharded_scan_merged(cfg, params, mesh: Mesh,
                               fb.slot_ind, fb.descendants, lut,
                               num_individuals, axis_name="data")
         inf = merge_infprobs(res.inf_accum, fb.slot_ind, fb.descendants,
-                             lut, num_individuals, axis_name="data")
+                             lut, num_individuals, axis_name="data",
+                             emptyslot=fb.emptyslot)
         return (res.total, res.pair, res.turn_weight, hb, hc, inf)
 
     fb_spec = P("data")
