@@ -388,7 +388,8 @@ def make_blocked_pieces(cfg: ModelConfig, params: RuntimeParams, dtype,
                               fb_blk.descendants, lut, num_individuals)
         inf = merge_infprobs(accum, fb_blk.slot_ind, fb_blk.descendants,
                              lut, num_individuals,
-                             emptyslot=fb_blk.emptyslot)
+                             emptyslot=fb_blk.emptyslot if probe_rules
+                             else None)
         return pair, hb, hc, inf
 
     def turn_fn(fb2, sh, desc, B):

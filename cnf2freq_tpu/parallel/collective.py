@@ -151,7 +151,9 @@ def sharded_scan_and_merge(fb: FamilyBatch, dists, cfg, params, mesh: Mesh,
 
 
 def make_sharded_scan_merged(cfg, params, mesh: Mesh,
-                             num_individuals: int):
+                             num_individuals: int,
+                             probe_rules: bool = False,
+                             n_variants: int = 1):
     """The production scan+merge step under shard_map: each shard runs
     the full single-chip program (including its Pallas kernels — legal
     per shard, unlike pallas under bare GSPMD) on its slice of the
@@ -162,13 +164,16 @@ def make_sharded_scan_merged(cfg, params, mesh: Mesh,
     from ..engine import chromosome_scan
 
     def step(fb, dists, lut, ratemat):
-        res = chromosome_scan(fb, dists, cfg, params, ratemat=ratemat)
+        res = chromosome_scan(fb, dists, cfg, params, ratemat=ratemat,
+                              probe_rules=probe_rules,
+                              n_variants=n_variants)
         hb, hc = merge_haplos(res.haplo_b12, res.haplo_mask, fb.hw,
                               fb.slot_ind, fb.descendants, lut,
                               num_individuals, axis_name="data")
         inf = merge_infprobs(res.inf_accum, fb.slot_ind, fb.descendants,
                              lut, num_individuals, axis_name="data",
-                             emptyslot=fb.emptyslot)
+                             emptyslot=fb.emptyslot if probe_rules
+                             else None)
         return (res.total, res.pair, res.turn_weight, hb, hc, inf)
 
     fb_spec = P("data")
