@@ -193,7 +193,8 @@ class Driver:
         with self.tracer.span("preprocess"):
             with self.tracer.span("correction_inference"):
                 self._correction_inference_loop()
-            ped.count_descendants()
+            if not self.parity:
+                ped.count_descendants()
             for ind in ped.inds[1:]:
                 ped.fixtrees(ind.n)       # sets founder flags
             with self.tracer.span("variances"):
@@ -206,11 +207,16 @@ class Driver:
 
     def _correction_inference_loop(self):
         ped = self.ped
+        if self.parity:
+            # the reference accumulates descendants across rounds (see
+            # Pedigree.count_descendants reset=False); start from zero
+            for ind in ped.inds[1:]:
+                ind.descendants = 0
         while True:
             ped.count_children(dous_only=False)
             for ind in ped.inds[1:]:
                 self._fixkid(ind)
-            ped.count_descendants()
+            ped.count_descendants(reset=not self.parity)
             any_corr = self._fixparents_round()
             if not any_corr:
                 break

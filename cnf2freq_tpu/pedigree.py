@@ -131,12 +131,20 @@ class Pedigree:
         self._frozen = True
 
     # ------------------------------------------------------------------
-    def count_descendants(self):
+    def count_descendants(self, reset: bool = True):
         """Propagate descendant counts upward (cnF2freq.cpp:3226-3256):
         every individual contributes max(own descendants, 1) to each parent,
-        iterated to a fixed point; leaves end up with descendants >= 1."""
-        for ind in self.inds[1:]:
-            ind.descendants = 0
+        iterated to a fixed point; leaves end up with descendants >= 1.
+
+        reset=False reproduces the reference exactly: its counting block
+        sits INSIDE the correction-inference round loop and never zeroes
+        ``descendants`` between rounds, so counts accumulate once per
+        round (each round re-pushes max(descendants, 1) through a fresh
+        ``upsent`` ledger).  The accumulated totals scale the relskew
+        pull in updatehaploweights (cnF2freq.cpp:4692)."""
+        if reset:
+            for ind in self.inds[1:]:
+                ind.descendants = 0
         upsent = {ind.n: 0 for ind in self.inds[1:]}
         changed = True
         while changed:

@@ -356,6 +356,20 @@ def patch_source(src):
     if src.count(old) != 1:
         raise SystemExit(f"tpret anchor count={src.count(old)}")
     src = src.replace(old, new)
+    # (h) REFTRACE6: updatehaploweights per-marker terms + result
+    # (relskewterm, similarity, descendants, children, adjusted
+    # haplobase/haplocount, the intended value from cappedgd).
+    old = ('\t\t\t\tdouble intended = cappedgd(gradient, '
+           'ind->haploweight[j], maxdiff / (ind->children + 1), hitnnn, '
+           'ind->lastinved[cno] != -1);')
+    new = (old + '\n\t\t\t\tif (getenv("REFTRACE6")) fprintf(stderr, '
+           '"UHW %d %d %.17g %.17g %.17g %.17g %d %d %d %.17g\\n", '
+           'ind->n, (int) j, relskewterm, similarity, ind->haplobase[j], '
+           'ind->haplocount[j], ind->descendants, ind->children, '
+           '(int) (ind->lastinved[cno] != -1), intended);')
+    if src.count(old) != 1:
+        raise SystemExit(f"uhw anchor count={src.count(old)}")
+    src = src.replace(old, new)
     return src
 
 

@@ -35,6 +35,12 @@ except Exception:  # jax internals moved: JAX_PLATFORMS=cpu still guards
 
 jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: repeated suite runs skip the (dominant)
+# XLA-CPU compile cost of the big jitted scan programs
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("CNF2FREQ_JAX_CACHE", "/tmp/jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 

@@ -1,0 +1,118 @@
+"""Reference-binary parity: the compiled reference (refbaseline/) and
+Driver(parity=True) must produce the same state trajectory on the
+PlantImpute demo.
+
+Requires the locally compiled instrumented reference binary; build it
+once with ``python refbaseline/build_ref.py`` plus the WCNF stand-in
+(see utils/refparity.build_reference).  Skipped when absent."""
+
+import numpy as np
+import pytest
+
+from cnf2freq_tpu.driver import Driver
+from cnf2freq_tpu.golden.doit import GoldenDoit
+from cnf2freq_tpu.io.alpha import load_plantimpute
+from cnf2freq_tpu.utils import refparity as rp
+
+MAP = "/root/reference/demoplantimpute.map"
+PED = "/root/reference/demoplantimpute.ped"
+GEN = "/root/reference/demoplantimpute.gen"
+M = 18
+
+pytestmark = pytest.mark.skipif(
+    not rp.have_reference(),
+    reason="instrumented reference binary not built (.refbuild)")
+
+
+def _load():
+    return load_plantimpute(MAP, PED, GEN)
+
+
+def test_trajectory_parity(tmp_path):
+    """Blocks 0..3 of the reference dump (initial + 3 doit calls) match
+    the parity driver's trajectory to float noise.  Through iteration 7
+    the demo trajectories agree to ~1e-14; the first flip-decision
+    divergence is at iteration 8 (native flip optimizer vs the WCNF
+    stand-in) — tracked separately."""
+    count = 4
+    ref_iters = rp.run_reference(MAP, PED, GEN, count, str(tmp_path), M)
+    assert len(ref_iters) == count
+    ped = _load()
+    drv = Driver(ped, parity=True)
+    drv.preprocess()
+    dev = rp.compare(ref_iters[0], rp.state_from_pedigree(ped))
+    assert dev["genotype_mismatches"] == 0
+    assert dev["haploweight"] < 1e-12 and dev["markersure"] < 1e-12
+    for t in range(1, count):
+        drv.iterate(early=False)
+        dev = rp.compare(ref_iters[t], rp.state_from_pedigree(ped))
+        assert dev["genotype_mismatches"] == 0, (t, dev)
+        assert dev["haploweight"] < 1e-9, (t, dev)
+        assert dev["markersure"] < 1e-9, (t, dev)
+        assert dev["relhaplo"] < 1e-9, (t, dev)
+
+
+def test_parity_descendants_accumulate():
+    """The reference's descendant counts accumulate once per
+    correction-inference round (cnF2freq.cpp:3226-3255 sits inside the
+    CORRECTIONINFERENCE loop); demo: B=15, E=H=2 (verified against the
+    instrumented binary's UHW trace)."""
+    ped = _load()
+    Driver(ped, parity=True).preprocess()
+    assert ped.getind("B").descendants == 15
+    assert ped.getind("E").descendants == 2
+    assert ped.getind("H").descendants == 2
+    ped2 = _load()
+    Driver(ped2, parity=False).preprocess()
+    assert ped2.getind("B").descendants == 5
+
+
+def test_scan_accumulators_match_golden_doit():
+    """The tensorized merged scan (probe-dedup variants on) reproduces
+    the golden full-iteration scan accumulators exactly; the golden spec
+    itself is pinned 1:1 against the instrumented reference binary
+    (REFTRACE ACC/INF traces)."""
+    import jax.numpy as jnp
+
+    from cnf2freq_tpu.hmm.family import gather_family
+    from cnf2freq_tpu.hmm.transition import rate_matrix
+
+    ped = _load()
+    drv = Driver(ped, parity=True)
+    drv.preprocess()
+    acc = GoldenDoit(ped).scan()
+
+    ids = [ind.n for ind in ped.inds[1:]]
+    ind_index = {n: i for i, n in enumerate(ids)}
+    NI = len(ids)
+    lut = np.full(max(ids) + 1, NI, dtype=np.int32)
+    for n, i in ind_index.items():
+        lut[n] = i
+    ped.count_children(dous_only=True)
+    scan_fn, _ = drv._jitted_scan_merged(NI)
+    lo, hi = ped.chromosome_range(0)
+    dists = jnp.asarray(np.diff(ped.markerposes[lo:hi]))
+    rm = jnp.asarray(rate_matrix(drv.cfg, drv.params, hi - lo - 1,
+                                 ped.actrec, lo, dtype=np.float64))
+    fb = gather_family(ped, list(ped.dous), lo, hi - 1, dtype=np.float64,
+                       mask_mode=drv.mask_mode, parity=True)
+    _, hb_p, hc_p, inf_p = scan_fn(fb.map(jnp.asarray), dists,
+                                   jnp.asarray(lut), rm)
+    hb, hc, inf = np.asarray(hb_p), np.asarray(hc_p), np.asarray(inf_p)
+
+    ghb = np.zeros((NI, M))
+    ghc = np.zeros((NI, M))
+    ginf = np.zeros((NI, M, 2, 2))
+    for k, v in acc.haplobase.items():
+        ghb[ind_index[k]] = v
+    for k, v in acc.haplocount.items():
+        ghc[ind_index[k]] = v
+    for k, tab in acc.infprobs.items():
+        for m in range(M):
+            for side in range(2):
+                for mv, val in tab[m][side].items():
+                    ginf[ind_index[k], m, side, mv - 1] = val
+
+    np.testing.assert_allclose(hb, ghb, atol=1e-12)
+    np.testing.assert_allclose(hc, ghc, atol=1e-12)
+    np.testing.assert_allclose(inf, ginf, atol=1e-12)
