@@ -619,7 +619,17 @@ class Driver:
 
             if not early:
                 with self.tracer.span("flips"):
-                    if self.flip_mode == "negshift":
+                    if self.parity:
+                        # reference-exact DOTOULBAR pipeline
+                        # (updates/refflips.py)
+                        from .updates.refflips import reference_flips
+                        weights = np.concatenate(
+                            [np.asarray(p, dtype=np.float64)
+                             for p in weight_parts], axis=0)
+                        winner = reference_flips(
+                            ped, cfg, dous, lo, hi, weights,
+                            haplobase, haplocount, ind_index)
+                    elif self.flip_mode == "negshift":
                         # legacy DOTOULBAR=0 path: unscale the descendant
                         # factor baked into turn weights, then
                         # single-member negshift inversion

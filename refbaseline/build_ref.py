@@ -370,6 +370,28 @@ def patch_source(src):
     if src.count(old) != 1:
         raise SystemExit(f"uhw anchor count={src.count(old)}")
     src = src.replace(old, new)
+    # (i) REFTRACE7: the per-marker WCNF clauses entering the solve stage
+    # (after relskew reweighting, before the cost transformation), plus
+    # the winning candidate set per chromosome.
+    old = "			long long fakegain = 0;"
+    new = ('			if (getenv("REFTRACE7"))\n'
+           '				for (clause& c : toulInput[m]) {\n'
+           '					fprintf(stderr, "CLS %d %lld", m, c.weight);\n'
+           '					for (int v : c.cinds) fprintf(stderr, " %d", v);\n'
+           '					fprintf(stderr, "\\n");\n'
+           '				}\n' + old)
+    if src.count(old) != 1:
+        raise SystemExit(f"cls anchor count={src.count(old)}")
+    src = src.replace(old, new)
+    old = ("			negshiftcands[i].clear();\n"
+           "			negshiftcands[i].insert(bestcands.begin()->cands.begin(), bestcands.begin()->cands.end());")
+    new = (old + '\n			if (getenv("REFTRACE7"))\n'
+           '				for (auto& bc : negshiftcands[i])\n'
+           '					fprintf(stderr, "WIN %d %d %lf %d\\n", (int) i,'
+           ' bc.get<0>()->n, bc.get<1>(), bc.get<2>());')
+    if src.count(old) != 1:
+        raise SystemExit(f"win anchor count={src.count(old)}")
+    src = src.replace(old, new)
     return src
 
 

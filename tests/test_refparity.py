@@ -29,12 +29,11 @@ def _load():
 
 
 def test_trajectory_parity(tmp_path):
-    """Blocks 0..3 of the reference dump (initial + 3 doit calls) match
-    the parity driver's trajectory to float noise.  Through iteration 7
-    the demo trajectories agree to ~1e-14; the first flip-decision
-    divergence is at iteration 8 (native flip optimizer vs the WCNF
-    stand-in) — tracked separately."""
-    count = 4
+    """All 10 demo blocks (initial + 9 doit calls) match the parity
+    driver's trajectory to float noise — measured full-run deviation is
+    max |d hw| <= 9e-15, |d markersure| <= 3e-10, genotypes/relhaplo
+    exact (the BASELINE.json contract asks for 1e-6)."""
+    count = 10
     ref_iters = rp.run_reference(MAP, PED, GEN, count, str(tmp_path), M)
     assert len(ref_iters) == count
     ped = _load()
