@@ -1042,12 +1042,14 @@ class Driver:
                 anym = lv.any(axis=-1)
                 if not anym.any():
                     continue
-                # best candidate; side 1 breaks ties toward allele 2
+                # best candidate (cnF2freq.cpp:4298-4306).  The
+                # reference's side-1 epsilon (bestprob - 1e-30) is
+                # absorbed by f64 rounding at any realistic bestprob, so
+                # computing it literally reproduces the reference's
+                # effective first-key (allele-1) tie-breaking
                 pick = np.where(lv, probs, -np.inf)
-                if side == 1:
-                    best = np.where(pick[:, 1] >= pick[:, 0] - 1e-30, 1, 0)
-                else:
-                    best = np.where(pick[:, 1] > pick[:, 0], 1, 0)
+                eps = 1e-30 if side == 1 else 0.0
+                best = np.where(pick[:, 1] > pick[:, 0] - eps, 1, 0)
                 bestp = pick[np.arange(M), best]
                 take = anym & np.isfinite(bestp)
                 ind.markerdata[take, side] = best[take] + 1

@@ -423,7 +423,10 @@ def reference_flips(ped: Pedigree, cfg: ModelConfig, dous: List[int],
         if skippable:
             continue
 
-        tf = _solve_wcnf(new_row, nbvar=2000)
+        # _solve_wcnf returns assign[0..nbvar] (1-based vars);
+        # computecandcliques consumes the reference's 0-based sol vector
+        # (tf[ind - 1], cnF2freq.cpp:4895)
+        tf = _solve_wcnf(new_row, nbvar=2000)[1:]
         for data in _computecandcliques(tf, new_row, maxweight + 1):
             if not (data.cover and data.score < 0):
                 continue

@@ -96,3 +96,105 @@ def simulate_f2(n_f2: int = 100, n_markers: int = 100,
         ped.dous.append(kid.n)
     ped.truths = truths
     return ped
+
+
+def simulate_plantimpute_files(dirpath, n_f2: int = 20, n_markers: int = 30,
+                               spacing_cm: float = 5.0,
+                               missing_rate: float = 0.1,
+                               error_rate: float = 0.02, seed: int = 0,
+                               genotyped_f1: int = 0):
+    """Write a synthesized F2 cohort in the PlantImpute .map/.ped/.gen
+    format both the reference binary (readalphamap/-ped/-data,
+    cnF2freq.cpp:6495-6685) and io.alpha read — including the mandatory
+    trailing dummy marker (demo.sh:22-23).
+
+    Founders A=(1,1), B=(2,2) at every marker; each F2 is bred through
+    the implicit F1 pair that BOTH readers synthesize from the
+    ``F2_i A B 2`` pedigree rows, so the in-memory pedigrees agree.
+    Returns (mapfile, pedfile, genfile, truths) with truths[name] =
+    [n_markers, 2] allele matrix (dummy column excluded)."""
+    import os
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(dirpath, exist_ok=True)
+    M = n_markers
+    poses = np.arange(M) * spacing_cm
+
+    def meiosis(geno):
+        d = np.diff(poses)
+        rec = 0.5 * (1 - np.exp(-2 * d / 100.0))
+        strand = rng.integers(0, 2)
+        idx = [strand]
+        for r in rec:
+            if rng.random() < r:
+                strand ^= 1
+            idx.append(strand)
+        return geno[np.arange(M), idx]
+
+    truths = {"A": np.full((M, 2), 1, dtype=np.int32),
+              "B": np.full((M, 2), 2, dtype=np.int32)}
+    rows = {}
+
+    def observe(truth):
+        obs = truth.copy()
+        err = rng.random((M, 2)) < error_rate
+        obs[err] = 3 - obs[err]
+        code = (obs == 2).sum(axis=1)
+        code[rng.random(M) < missing_rate] = 9
+        return code
+
+    f1names = []
+    for k in range(genotyped_f1):
+        name = f"E_{k}"
+        truths[name] = np.stack([meiosis(truths["A"]),
+                                 meiosis(truths["B"])], axis=1)
+        rows[name] = observe(truths[name])
+        f1names.append(name)
+    for i in range(n_f2):
+        name = f"F2_{i}"
+        if genotyped_f1:
+            pa = truths[f1names[(2 * i) % genotyped_f1]]
+            pb = truths[f1names[(2 * i + 1) % genotyped_f1]]
+        else:
+            pa = np.stack([meiosis(truths["A"]), meiosis(truths["B"])],
+                          axis=1)
+            pb = np.stack([meiosis(truths["A"]), meiosis(truths["B"])],
+                          axis=1)
+        truth = np.stack([meiosis(pa), meiosis(pb)], axis=1)
+        truths[name] = truth
+        rows[name] = observe(truth)
+
+    mapfile = os.path.join(dirpath, "synth.map")
+    pedfile = os.path.join(dirpath, "synth.ped")
+    genfile = os.path.join(dirpath, "synth.gen")
+    with open(mapfile, "w") as f:
+        for p in poses:
+            f.write("%g\n" % p)
+        f.write("%g\n" % (poses[-1] + 2 * spacing_cm))   # trailing dummy
+    with open(pedfile, "w") as f:
+        f.write("A 0 0\nB 0 0\n")
+        for k in range(genotyped_f1):
+            f.write("E_%d A B 1\n" % k)
+        for i in range(n_f2):
+            if genotyped_f1:
+                f.write("F2_%d E_%d E_%d 2\n"
+                        % (i, (2 * i) % genotyped_f1,
+                           (2 * i + 1) % genotyped_f1))
+            else:
+                f.write("F2_%d A B 2\n" % i)
+    with open(genfile, "w") as f:
+        for k in range(genotyped_f1):
+            r = rows[f"E_{k}"]
+            f.write("E_%d " % k
+                    + " ".join(str(c) for c in r) + " %d\n" % r[-1])
+        # the dummy column carries real (duplicated last-marker) data,
+        # matching the demo convention: an all-missing dummy makes every
+        # update there gradient-free, and the reference then walks on
+        # -ffast-math rounding noise (irreproducible by construction)
+        f.write("A " + " ".join(["0"] * M) + " 0\n")
+        f.write("B " + " ".join(["2"] * M) + " 2\n")
+        for i in range(n_f2):
+            r = rows[f"F2_{i}"]
+            f.write("F2_%d " % i
+                    + " ".join(str(c) for c in r) + " %d\n" % r[-1])
+    return mapfile, pedfile, genfile, truths

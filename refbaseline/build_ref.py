@@ -392,6 +392,27 @@ def patch_source(src):
     if src.count(old) != 1:
         raise SystemExit(f"win anchor count={src.count(old)}")
     src = src.replace(old, new)
+    # (j) REFTRACE8: processinfprobs per-allele capped-GD results.
+    old = ("		double intended = cappedgd(gradient, curprob, epsilon, hitnnn);\n"
+           "		ind->infprobs[j][side][probpair.first] = intended;")
+    new = ("		double intended = cappedgd(gradient, curprob, epsilon, hitnnn);\n"
+           '		if (getenv("REFTRACE8")) fprintf(stderr,'
+           ' "PIP %d %d %d %d %.17g %.17g %.17g %.17g\\n", ind->n, (int) j,'
+           ' side, probpair.first.value(), curprob, probpair.second, sum,'
+           ' intended);\n'
+           "		ind->infprobs[j][side][probpair.first] = intended;")
+    if src.count(old) != 1:
+        raise SystemExit(f"pip anchor count={src.count(old)}")
+    src = src.replace(old, new)
+    # (k) REFTRACE9: the relskew clause reweighting ingredients.
+    old = ("					omp_set_lock(&markerlocks[marker]);\n"
+           "					for (clause& c : toulInput[marker])")
+    new = ('					if (getenv("REFTRACE9")) fprintf(stderr,'
+           ' "SKW %d %d %.17g %d\\n", dous[j]->n, marker, w,'
+           ' dous[j]->descendants);\n' + old)
+    if src.count(old) != 1:
+        raise SystemExit(f"skw anchor count={src.count(old)}")
+    src = src.replace(old, new)
     return src
 
 

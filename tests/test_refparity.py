@@ -115,3 +115,66 @@ def test_scan_accumulators_match_golden_doit():
     np.testing.assert_allclose(hb, ghb, atol=1e-12)
     np.testing.assert_allclose(hc, ghc, atol=1e-12)
     np.testing.assert_allclose(inf, ginf, atol=1e-12)
+
+
+def test_flip_parity(tmp_path):
+    """Flip-engaged trajectory parity: seed a deliberately phase-inverted
+    tail (via the deserialize path) on a fully genotyped-F1 cohort — the
+    only family shape whose WCNF stage can act (with empty aux members
+    the solver always escapes to a masked zero-cost pattern) — and check
+    the parity driver reproduces the reference's inversion decision and
+    the post-flip trajectory.
+
+    hw is kept off exact 0/1 in the seed: the reference's recommended
+    -ffast-math build constant-folds the isfinite guard in its relskew
+    clause reweighting (cnF2freq.cpp:5935), so NaN skew terms from locked
+    weights become LLONG_MIN clause weights and abort the binary."""
+    import numpy as np
+
+    from cnf2freq_tpu.io.outputs import deserialize
+    from cnf2freq_tpu.utils.simulate import simulate_plantimpute_files
+
+    work = str(tmp_path)
+    mapf, pedf, genf, _ = simulate_plantimpute_files(
+        work, n_f2=12, n_markers=24, seed=0, genotyped_f1=4)
+    Ms = 25
+    count = 4
+    ref_iters = rp.run_reference(mapf, pedf, genf, 3, work, Ms)
+    state = ref_iters[-1]
+    seed = work + "/seed.txt"
+    with open(seed, "w") as f:
+        for name, st in state.items():
+            hw = st.haploweight.copy()
+            if name in ("F2_0", "F2_3"):
+                hw[10:] = 1.0 - hw[10:]
+            hw = np.clip(hw, 1e-3, 1 - 1e-3)
+            f.write("%d %s\n" % (st.ind_id, name))
+            for m in range(Ms):
+                f.write("%.17g\t%d\t%d\t\t%.17g\t%.17g %.17g %.17g\n" %
+                        (hw[m], st.markerdata[m, 0], st.markerdata[m, 1],
+                         0.0, st.markersure[m, 0], st.markersure[m, 1],
+                         st.relhaplo[m]))
+    ref2 = rp.run_reference(mapf, pedf, genf, count, work + "/r2", Ms,
+                            extra_args=["--deserialize", seed])
+    ref_inv = sum(1 for line in open(work + "/r2/ref_stdout.log")
+                  if line.startswith("Inv:"))
+    assert ref_inv >= 1   # the scenario must actually exercise a flip
+
+    ped = _load_synth(mapf, pedf, genf)
+    drv = Driver(ped, parity=True)
+    drv.preprocess()
+    with open(seed) as f:
+        deserialize(ped, f)
+    inverted = []
+    for t in range(1, count):
+        info = drv.iterate(early=False)
+        inverted.append(info["inverted"])
+        dev = rp.compare(ref2[t], rp.state_from_pedigree(ped))
+        assert dev["genotype_mismatches"] == 0, (t, dev)
+        assert dev["haploweight"] < 1e-9, (t, dev)
+        assert dev["markersure"] < 1e-9, (t, dev)
+    assert inverted[0]   # the seeded inversion is detected and applied
+
+
+def _load_synth(mapf, pedf, genf):
+    return load_plantimpute(mapf, pedf, genf)
