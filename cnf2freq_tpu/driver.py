@@ -43,9 +43,18 @@ class DriverState:
 
 class Driver:
     def __init__(self, ped: Pedigree, params: Optional[RuntimeParams] = None,
-                 dtype=np.float64, parity: bool = False):
+                 dtype=np.float64, parity: bool = False, mesh=None):
         self.ped = ped
         self.cfg: ModelConfig = ped.config
+        # Multi-chip execution: a jax.sharding.Mesh with a "data" axis.
+        # Every chromosome scan runs under shard_map with the analysis
+        # units sharded over "data" and the accumulator merge completed
+        # by a psum over the mesh (parallel/collective.py) — the
+        # TPU-native replacement for the reference's MPI
+        # broadcast/reduce loop (cnF2freq.cpp:5197-5242, 6245-6255).
+        # Host-side stages (flips, capped-GD updates) consume the
+        # replicated merged accumulators unchanged.
+        self.mesh = mesh
         if self.cfg.selfing or self.cfg.relskewstates:
             raise NotImplementedError(
                 "the iteration driver runs the standard state space; for "
@@ -149,6 +158,20 @@ class Driver:
                                         n_variants=self._n_variants(),
                                         probe_rules=self.parity),
                 make_jitted_coherence(self.cfg, self.params))
+        return self._scan_cache[key]
+
+    def _jitted_scan_sharded(self, num_individuals: int):
+        """The mesh form of _jitted_scan_merged: one shard_map program
+        returning (total, pair, turn_weight, hb, hc, inf, coherence)."""
+        key = ("scan_sharded", self.dtype, num_individuals)
+        if key not in self._scan_cache:
+            from .parallel.collective import make_sharded_scan_merged
+            self._scan_cache[key] = make_sharded_scan_merged(
+                self.cfg, self.params, self.mesh, num_individuals,
+                probe_rules=self.parity,
+                n_variants=self._n_variants(),
+                with_coherence=self.adaptive_relhaplo and
+                self.cfg.relskews)
         return self._scan_cache[key]
 
     def _chunk_size(self, n_units: int, m_markers: int) -> int:
@@ -543,7 +566,14 @@ class Driver:
                     apply_flips(ped, winner, c, haplobase, haplocount,
                                 ind_index)
                 continue
-            scan_fn, coh_fn = self._jitted_scan_merged(NI)
+            if self.mesh is not None:
+                if self.remap_distances:
+                    raise NotImplementedError(
+                        "remap_distances under a mesh: re-estimate the "
+                        "map single-device, then scan with the mesh")
+                scan_fn, coh_fn = self._jitted_scan_sharded(NI), None
+            else:
+                scan_fn, coh_fn = self._jitted_scan_merged(NI)
             Mp = Mc if not self.marker_bucket else \
                 -(-Mc // self.marker_bucket) * self.marker_bucket
             dists = np.diff(ped.markerposes[lo:hi]).astype(self.dtype)
@@ -559,6 +589,9 @@ class Driver:
             # analysis units stream through the device in fixed-size
             # chunks: one compiled program, bounded HBM at any cohort size
             bs = self._chunk_size(len(dous), Mp)
+            if self.mesh is not None:
+                nd = self.mesh.shape["data"]
+                bs = max(nd, -(-bs // nd) * nd)
             weight_parts = []
             remap_acc = (np.zeros((2, Mc - 1)), np.zeros(2, dtype=np.int64))
             for b0 in range(0, len(dous), bs):
@@ -574,18 +607,30 @@ class Driver:
                     if len(chunk) < bs:
                         from .parallel.mesh import pad_batch
                         fbatch = pad_batch(fbatch, bs)
-                    fbj = fbatch.map(jnp.asarray)
+                    if self.mesh is not None:
+                        from .parallel.mesh import shard_batch
+                        fbj = shard_batch(fbatch, self.mesh)
+                    else:
+                        fbj = fbatch.map(jnp.asarray)
                 with self.tracer.span("scan"):
-                    res, hb_p, hc_p, inf_p = scan_fn(fbj, dj, lutj, rj)
+                    if self.mesh is not None:
+                        (total, pair_t, turn_w, hb_p, hc_p, inf_p,
+                         coh_t) = scan_fn(fbj, dj, lutj, rj)
+                        res = None
+                    else:
+                        res, hb_p, hc_p, inf_p = scan_fn(fbj, dj, lutj,
+                                                         rj)
+                        total, pair_t = res.total, res.pair
+                        turn_w, coh_t = res.turn_weight, None
                     # tiny readback as the sync point: attributes device
                     # time here rather than to the first big transfer
-                    _ = np.asarray(res.total)
+                    _ = np.asarray(total)
                 nb = len(chunk)
                 with self.tracer.span("scatter"):
                     sb = fbatch.slot_ind[:nb]
                     desc = fbatch.descendants[:nb].astype(np.float64)
                     self._store_pair_tables(
-                        chunk, lo, np.asarray(res.pair)[:nb, :Mc])
+                        chunk, lo, np.asarray(pair_t)[:nb, :Mc])
                     # accumulators were merged on device (segment-sum per
                     # individual row, engine.make_jitted_scan_merged);
                     # only [NI, M]-shaped partials cross the host link
@@ -601,21 +646,29 @@ class Driver:
                 if self.adaptive_relhaplo and self.cfg.relskews:
                     with self.tracer.span("coherence"):
                         from .updates.scatter import scatter_coherence
-                        # one dispatch per slot: an all-slot program was
-                        # tried and exceeds HBM at B=1000 (XLA schedules
-                        # the slot chains' temporaries concurrently)
-                        coh = np.stack([
-                            np.asarray(coh_fn(fbj, dj, res.fw_pre, res.bw,
-                                              res.fw_pre_f, res.bw_f, slot,
-                                              ratemat=rj))
-                            for slot in range(self.cfg.numslots)], axis=-1)
+                        if coh_t is not None:
+                            # mesh path: coherence came out of the
+                            # sharded scan program
+                            coh = np.asarray(coh_t)
+                        else:
+                            # one dispatch per slot: an all-slot program
+                            # was tried and exceeds HBM at B=1000 (XLA
+                            # schedules the slot chains' temporaries
+                            # concurrently)
+                            coh = np.stack([
+                                np.asarray(coh_fn(fbj, dj, res.fw_pre,
+                                                  res.bw, res.fw_pre_f,
+                                                  res.bw_f, slot,
+                                                  ratemat=rj))
+                                for slot in range(self.cfg.numslots)],
+                                axis=-1)
                         scatter_coherence(sb, desc, lo, coh[:nb, :Mc],
                                           coh_num, coh_den, ind_index)
                 if not early:
                     # native mode keeps the [nb, M, T] chunks ON DEVICE:
                     # the flip scorer consumes them there and only [B, k]
                     # top-marker slices cross the host link
-                    weight_parts.append(res.turn_weight[:nb, :Mc])
+                    weight_parts.append(turn_w[:nb, :Mc])
 
             if not early:
                 with self.tracer.span("flips"):

@@ -72,9 +72,11 @@ def write_line_origin_table(ped: Pedigree, tables: Dict[int, np.ndarray],
 
 
 def write_haplotype_dump(ped: Pedigree, out: TextIO,
-                         reset_negshift: bool = True):
-    """The reference's per-iteration dump (cnF2freq.cpp:8157-8194)."""
-    for ind in ped.inds[1:]:
+                         reset_negshift: bool = True, inds=None):
+    """The reference's per-iteration dump (cnF2freq.cpp:8157-8194).
+
+    inds: optional subset of individuals (sharded checkpoints)."""
+    for ind in (ped.inds[1:] if inds is None else inds):
         if ind is None or ind.haploweight is None:
             continue
         out.write(f"{ind.n} {ind.name}\n")

@@ -153,7 +153,8 @@ def sharded_scan_and_merge(fb: FamilyBatch, dists, cfg, params, mesh: Mesh,
 def make_sharded_scan_merged(cfg, params, mesh: Mesh,
                              num_individuals: int,
                              probe_rules: bool = False,
-                             n_variants: int = 1):
+                             n_variants: int = 1,
+                             with_coherence: bool = False):
     """The production scan+merge step under shard_map: each shard runs
     the full single-chip program (including its Pallas kernels — legal
     per shard, unlike pallas under bare GSPMD) on its slice of the
@@ -166,7 +167,8 @@ def make_sharded_scan_merged(cfg, params, mesh: Mesh,
     def step(fb, dists, lut, ratemat):
         res = chromosome_scan(fb, dists, cfg, params, ratemat=ratemat,
                               probe_rules=probe_rules,
-                              n_variants=n_variants)
+                              n_variants=n_variants,
+                              with_coherence=with_coherence)
         hb, hc = merge_haplos(res.haplo_b12, res.haplo_mask, fb.hw,
                               fb.slot_ind, fb.descendants, lut,
                               num_individuals, axis_name="data")
@@ -174,12 +176,14 @@ def make_sharded_scan_merged(cfg, params, mesh: Mesh,
                              lut, num_individuals, axis_name="data",
                              emptyslot=fb.emptyslot if probe_rules
                              else None)
-        return (res.total, res.pair, res.turn_weight, hb, hc, inf)
+        return (res.total, res.pair, res.turn_weight, hb, hc, inf,
+                res.coherence)
 
     fb_spec = P("data")
     sharded = jax.shard_map(
         step, mesh=mesh,
         in_specs=(fb_spec, P(), P(), P()),
-        out_specs=(P("data"), P("data"), P("data"), P(), P(), P()),
+        out_specs=(P("data"), P("data"), P("data"), P(), P(), P(),
+                   P("data")),
         check_vma=False)
     return jax.jit(sharded)

@@ -130,7 +130,7 @@ def test_sharded_scan_merged_matches_single_device():
     mesh = make_mesh(4)
     fn = make_sharded_scan_merged(cfg, params, mesh, NI)
     with mesh:
-        total, pair, turn, hb, hc, inf = fn(fbj, dj, lutj, rj)
+        total, pair, turn, hb, hc, inf, _coh = fn(fbj, dj, lutj, rj)
 
     np.testing.assert_allclose(np.asarray(total), np.asarray(ref_res.total),
                                rtol=1e-9, atol=1e-12)
@@ -146,3 +146,72 @@ def test_sharded_scan_merged_matches_single_device():
                                rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.asarray(inf), np.asarray(ref_inf),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_driver_iterate_under_mesh_matches_single_device():
+    """The production Driver with a mesh (scans under shard_map + psum
+    merges) reproduces the single-device iterate bit-for-bit-ish on a
+    small cohort (VERDICT round-1 item 2)."""
+    import jax
+
+    from cnf2freq_tpu.driver import Driver
+    from cnf2freq_tpu.parallel import make_mesh
+    from cnf2freq_tpu.utils import simulate_f2
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs the virtual CPU mesh")
+
+    def run(mesh):
+        ped = simulate_f2(n_f2=8, n_markers=9, seed=3, missing_rate=0.3)
+        drv = Driver(ped, mesh=mesh)
+        drv.preprocess()
+        info = drv.iterate(early=False)
+        hw = np.stack([ped.by_id(n).haploweight for n in ped.dous])
+        ms = np.stack([ped.by_id(n).markersure for n in ped.dous])
+        pair = np.stack([drv.pair_tables[n] for n in ped.dous])
+        return info, hw, ms, pair
+
+    info_m, hw_m, ms_m, pair_m = run(make_mesh(4))
+    info_s, hw_s, ms_s, pair_s = run(None)
+    np.testing.assert_allclose(hw_m, hw_s, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(ms_m, ms_s, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(pair_m, pair_s, rtol=1e-9, atol=1e-11)
+    assert info_m["hitnnn"] == info_s["hitnnn"]
+    assert info_m["inverted"] == info_s["inverted"]
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """save_sharded (4-shard layout) + load_sharded restores the full
+    state; shard files concatenate into a plain-deserialize-compatible
+    dump."""
+    from cnf2freq_tpu.driver import Driver
+    from cnf2freq_tpu.io.sharded_checkpoint import (load_sharded,
+                                                    save_sharded)
+    from cnf2freq_tpu.utils import simulate_f2
+
+    ped = simulate_f2(n_f2=10, n_markers=8, seed=7)
+    drv = Driver(ped)
+    drv.preprocess()
+    drv.iterate(early=False)
+    want_hw = {n: ped.by_id(n).haploweight.copy() for n in ped.dous}
+    want_md = {n: ped.by_id(n).markerdata.copy() for n in ped.dous}
+    save_sharded(ped, str(tmp_path), meta={"iteration": 1},
+                 process_count=4)
+    import os
+    assert len([f for f in os.listdir(tmp_path)
+                if f.startswith("shard-")]) == 4
+
+    ped2 = simulate_f2(n_f2=10, n_markers=8, seed=7)
+    Driver(ped2).preprocess()
+    man = load_sharded(ped2, str(tmp_path))
+    assert man["iteration"] == 1
+    for n in ped.dous:
+        got = ped2.by_id(n)
+        md_eq = (got.markerdata == want_md[n]).all(axis=1)
+        md_sw = (got.markerdata == want_md[n][:, ::-1]).all(axis=1)
+        assert (md_eq | md_sw).all()
+        hw = np.where(md_sw & ~md_eq, 1 - got.haploweight,
+                      got.haploweight)
+        het = want_md[n][:, 0] != want_md[n][:, 1]
+        np.testing.assert_allclose(hw[het], want_hw[n][het], atol=2e-6)
