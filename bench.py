@@ -29,6 +29,19 @@ M = int(os.environ.get("BENCH_M", 192))
 REPS = int(os.environ.get("BENCH_REPS", 5))
 
 
+def reference_rate():
+    """(rate, source): the measured ACTUAL reference binary's doit rate
+    (bench/ref_baseline.py -> bench/ref_rate.json) when available."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "bench", "ref_rate.json")
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        return float(d["ind_markers_per_s"]), d
+    except Exception:
+        return None, None
+
+
 def cpu_baseline_rate() -> float:
     """individual*markers/s of the reference-equivalent single-core CPU
     implementation (measured, small workload, linear extrapolation)."""
@@ -129,7 +142,9 @@ def main():
     dt = (time.perf_counter() - t0) / (REPS * K)
 
     rate = B * M / dt
-    base = cpu_baseline_rate()
+    standin = cpu_baseline_rate()
+    refrate, refinfo = reference_rate()
+    base = refrate if refrate else standin
     result = {
         "metric": "F2 chromosome scan throughput (1k-individual "
                   "per-iteration workload)",
@@ -138,7 +153,11 @@ def main():
         "vs_baseline": round(rate / base, 1),
         "detail": {
             "B": B, "M": M, "seconds_per_iteration": round(dt, 4),
-            "cpu_baseline_ind_markers_per_s": round(base, 1),
+            "baseline_source": ("measured reference binary "
+                                "(bench/ref_rate.json)" if refrate
+                                else "cpu_baseline.cc stand-in"),
+            "reference_ind_markers_per_s": refrate,
+            "cpu_standin_ind_markers_per_s": round(standin, 1),
             "device": str(jax.devices()[0]),
             "dtype": "float32",
         },
