@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="native",
                    help="phase-flip optimizer: joint per-marker solver "
                    "(default) or the legacy single-member negshift path")
+    p.add_argument("--parentswap", action="store_true",
+                   help="with --flipmode negshift: also apply parent-"
+                   "pair swap moves (parentswapnegshifts)")
     p.add_argument("--trace", help="write structured tracing/metrics as "
                    "JSON lines to this file; span summary on stderr")
     p.add_argument("--x64", action="store_true", default=True,
@@ -155,6 +158,7 @@ def main(argv=None) -> int:
     dtype = np.float64 if args.x64 else np.float32
     driver = Driver(ped, dtype=dtype)
     driver.flip_mode = args.flipmode
+    driver.parent_swap = args.parentswap
     if args.markerblock:
         driver.marker_block = args.markerblock
         driver.adaptive_relhaplo = False   # whole-chromosome pass

@@ -112,6 +112,10 @@ class Driver:
         # replacement); "negshift" = legacy single-member inversion path
         # (DOTOULBAR=0, updates/negshift.py)
         self.flip_mode = "native"
+        # Parent-pair swap moves after the legacy negshift pass
+        # (parentswapnegshifts, cnF2freq.cpp:5004-5084 — dead at
+        # reference HEAD; see updates/negshift.py).  negshift mode only.
+        self.parent_swap = False
         # structured tracing/metrics (utils/tracing.py); NullTracer is a
         # no-op — swap in a Tracer(sink=...) for JSONL telemetry
         from .utils.tracing import NullTracer
@@ -693,9 +697,14 @@ class Driver:
                         desc = np.array(
                             [max(ped.by_id(n).descendants, 1)
                              for n in dous], dtype=float)
+                        unscaled = weights / desc[:, None, None]
                         winner = negshift_flips(
-                            ped, dous, lo, hi,
-                            weights / desc[:, None, None], cfg)
+                            ped, dous, lo, hi, unscaled, cfg)
+                        if self.parent_swap:
+                            from .updates.negshift import \
+                                parent_swap_negshifts
+                            parent_swap_negshifts(
+                                ped, dous, lo, hi, unscaled, cfg)
                     else:
                         with self.tracer.span("optimise"):
                             winner = self._optimise_flips(

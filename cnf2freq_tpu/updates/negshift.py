@@ -118,6 +118,110 @@ def select_candidates(ped: Pedigree, lo: int, hi: int,
     return cands
 
 
+# Parent-pair swap moves (``parentswapnegshifts``, cnF2freq.cpp:5004-5084).
+#
+# Reference status at HEAD: this is *dead code twice over* — the call is
+# compiled out under DOTOULBAR=1 (cnF2freq.cpp:6369-6371), and the nsm
+# score map is only ever filled inside an ``#if false`` block written for
+# a NUMGEN==2 bit layout (cnF2freq.cpp:3689-3712), so even the
+# DOTOULBAR=0 build runs it on an empty map.  We port the *semantics*:
+# per parent pair and marker, score four joint tail-flip hypotheses
+# ("phase" codes k, mapped to turn masks of the live NUMGEN==3 layout):
+#
+#   k=1: flip parent 0          (turn bit 0)
+#   k=2: flip parent 1          (turn bit 3)      <- the only code the
+#                                                    reference enables
+#   k=3: flip both parents      (bits 0|3)
+#   k=4: parent swap, emulated by flipping every child that shares both
+#        parents (the reference's ``phase & 4`` branch; the literal
+#        data swap is disabled there with ``z == 0 && false``)
+#
+# and greedily apply the best positive-gain move per parent pair
+# (``bestshift`` dominance, cnF2freq.cpp:5032-5037).  The reference's
+# ~10% random acceptance gate (cnF2freq.cpp:5046) is dropped for
+# determinism, consistently with this module's other documented
+# determinism choices.
+
+_PHASE_TURNS = {1: 1 << 0, 2: 1 << 3, 3: (1 << 0) | (1 << 3)}
+
+
+def accumulate_pair_scores(ped: Pedigree, dous: List[int], lo: int,
+                           hi: int, weights: np.ndarray, cfg: ModelConfig
+                           ) -> Dict[Tuple[int, int], np.ndarray]:
+    """nsm fill (cnF2freq.cpp:3698-3711, generalized to NUMGEN==3 turn
+    bits): per (par0, par1) pair an [M, 5] array of summed log
+    likelihood-ratio gains, one column per phase code 1..4 (column 0
+    unused).  weights as in :func:`accumulate_negshift`."""
+    Mi = hi - lo
+    nsm: Dict[Tuple[int, int], np.ndarray] = {}
+    focal_bit = cfg.typebits
+    for b, n in enumerate(dous):
+        ind = ped.by_id(n)
+        if not (ind.pars[0] and ind.pars[1]):
+            continue
+        _shiftignore, flag2ignore = ped.fixtrees(n)
+        key = (ind.pars[0], ind.pars[1])
+        acc = nsm.get(key)
+        if acc is None:
+            acc = nsm[key] = np.zeros((Mi, 5))
+        for k, turn in _PHASE_TURNS.items():
+            if turn & (flag2ignore >> 1):
+                continue
+            acc[:, k] += np.maximum(weights[b, :Mi, turn], _LOG_CLAMP)
+        # k=4: the swap hypothesis scores as the child's own flip
+        if not ((1 << focal_bit) & (flag2ignore >> 1)):
+            acc[:, 4] += np.maximum(weights[b, :Mi, 1 << focal_bit],
+                                    _LOG_CLAMP)
+    return nsm
+
+
+def parent_swap_negshifts(ped: Pedigree, dous: List[int], lo: int, hi: int,
+                          weights: np.ndarray, cfg: ModelConfig,
+                          phases: Tuple[int, ...] = (2,)
+                          ) -> List[Tuple[int, int, int, int, float]]:
+    """parentswapnegshifts (cnF2freq.cpp:5004-5084) for one chromosome.
+
+    Scores every (parent pair, marker, phase) hypothesis, then greedily
+    accepts the best positive-gain move per parent pair (each accepted
+    move raises both members' ``bestshift`` bar) and applies the tail
+    flips to ``haploweight`` directly — no haplobase bookkeeping, no
+    lastinved update, exactly like the reference's emulated shifts
+    (cnF2freq.cpp:5055-5082).  ``phases`` defaults to ``(2,)``, the only
+    code enabled at reference HEAD (cnF2freq.cpp:5017-5018).
+    Returns the applied moves as (par0, par1, phase, marker, score).
+    """
+    nsm = accumulate_pair_scores(ped, dous, lo, hi, weights, cfg)
+    cands: List[Tuple[float, Tuple[int, int], int, int]] = []
+    for (p0, p1), acc in nsm.items():
+        for k in phases:
+            for m in range(hi - lo):
+                # - 1e-5 tie-break margin (cnF2freq.cpp:5018)
+                cands.append((acc[m, k] - 1e-5, (p0, p1), k, lo + m))
+    cands.sort(key=lambda t: (-t[0], t[1], t[2], t[3]))
+    bestshift: Dict[int, float] = {}
+    applied: List[Tuple[int, int, int, int, float]] = []
+    for score, (p0, p1), k, m in cands:
+        if score <= bestshift.get(p0, 0.0) or score <= bestshift.get(p1, 0.0):
+            continue
+        bestshift[p0] = score
+        bestshift[p1] = score
+        inds = (ped.by_id(p0), ped.by_id(p1))
+        for z in (0, 1):
+            if k & 4 and z == 1:
+                # flip children that share both parents, once
+                # (cnF2freq.cpp:5063-5071)
+                for kid_n in ped._kids_of(p1):
+                    kid = ped.by_id(kid_n)
+                    if kid.pars[0] == p0 and kid.haploweight is not None:
+                        kid.haploweight[m + 1:hi] = \
+                            1.0 - kid.haploweight[m + 1:hi]
+            if k & (1 << z) and inds[z].haploweight is not None:
+                inds[z].haploweight[m + 1:hi] = \
+                    1.0 - inds[z].haploweight[m + 1:hi]
+        applied.append((p0, p1, k, m, score))
+    return applied
+
+
 def negshift_flips(ped: Pedigree, dous: List[int], lo: int, hi: int,
                    weights: np.ndarray, cfg: ModelConfig
                    ) -> Optional[FlipCandidate]:

@@ -142,3 +142,88 @@ def test_driver_negshift_mode_demo():
     for ind in ped.inds[1:]:
         if ind.haploweight is not None:
             assert ((ind.haploweight >= 0) & (ind.haploweight <= 1)).all()
+
+
+def test_parent_swap_scores_and_moves():
+    """parentswapnegshifts (cnF2freq.cpp:5004-5084): pair scoring,
+    bestshift dominance, and tail application semantics."""
+    from cnf2freq_tpu.updates.negshift import (accumulate_pair_scores,
+                                               parent_swap_negshifts)
+    ped = make_ped()
+    by, _ = family(ped, "d")
+    by["dkid"].pars = (by["dp0"].n, by["dp1"].n)
+    sib = ped.getind("dsib")
+    sib.pars = (by["dp0"].n, by["dp1"].n)
+    ped.dous = [by["dkid"].n, sib.n]
+    finish(ped)
+    M = ped.num_markers
+    T = CFG.numturns
+
+    # flipping parent 1 (turn bit 3) gains 2 nats per child at marker 3
+    w = np.zeros((2, M, T))
+    w[:, 3, 1 << 3] = 2.0
+    nsm = accumulate_pair_scores(ped, ped.dous, 0, M, w, CFG)
+    key = (by["dp0"].n, by["dp1"].n)
+    assert key in nsm
+    np.testing.assert_allclose(nsm[key][3, 2], 4.0, atol=1e-12)  # summed
+    assert abs(nsm[key][3, 1]) < 1e-12
+
+    hw1 = by["dp1"].haploweight.copy()
+    hw0 = by["dp0"].haploweight.copy()
+    moves = parent_swap_negshifts(ped, ped.dous, 0, M, w, CFG)
+    # one move per parent pair (bestshift dominance), phase 2, marker 3
+    assert moves == [(by["dp0"].n, by["dp1"].n, 2, 3,
+                      pytest.approx(4.0 - 1e-5))]
+    np.testing.assert_allclose(by["dp1"].haploweight[4:], 1.0 - hw1[4:])
+    np.testing.assert_allclose(by["dp1"].haploweight[:4], hw1[:4])
+    np.testing.assert_allclose(by["dp0"].haploweight, hw0)  # untouched
+
+    # no positive gain -> no moves
+    moves2 = parent_swap_negshifts(ped, ped.dous, 0, M,
+                                   np.zeros((2, M, T)), CFG)
+    assert moves2 == []
+
+
+def test_parent_swap_phase4_flips_full_sibs():
+    from cnf2freq_tpu.updates.negshift import parent_swap_negshifts
+    ped = make_ped()
+    by, _ = family(ped, "e")
+    by["ekid"].pars = (by["ep0"].n, by["ep1"].n)
+    sib = ped.getind("esib")
+    sib.pars = (by["ep0"].n, by["ep1"].n)
+    half = ped.getind("ehalf")            # half-sib: shares only par1
+    half.pars = (ped.getind("eother").n, by["ep1"].n)
+    ped.dous = [by["ekid"].n, sib.n]
+    finish(ped)
+    M = ped.num_markers
+    T = CFG.numturns
+
+    w = np.zeros((2, M, T))
+    w[:, 2, 1 << CFG.typebits] = 1.5     # focal flips score the swap
+    hwk = by["ekid"].haploweight.copy()
+    hwh = half.haploweight.copy()
+    moves = parent_swap_negshifts(ped, ped.dous, 0, M, w, CFG,
+                                  phases=(4,))
+    assert [mv[2:4] for mv in moves] == [(4, 2)]
+    # full sibs flip their tails once; the half-sib does not
+    np.testing.assert_allclose(by["ekid"].haploweight[3:],
+                               1.0 - hwk[3:])
+    np.testing.assert_allclose(half.haploweight, hwh)
+
+
+def test_driver_parent_swap_demo():
+    from cnf2freq_tpu.driver import Driver
+    from cnf2freq_tpu.io import load_plantimpute
+    ped = load_plantimpute("/root/reference/demoplantimpute.map",
+                          "/root/reference/demoplantimpute.ped",
+                          "/root/reference/demoplantimpute.gen")
+    drv = Driver(ped)
+    drv.flip_mode = "negshift"
+    drv.parent_swap = True
+    drv.preprocess()
+    drv.iterate(early=True)
+    info = drv.iterate()
+    assert np.isfinite(info["hitnnn"])
+    for ind in ped.inds[1:]:
+        if ind.haploweight is not None:
+            assert ((ind.haploweight >= 0) & (ind.haploweight <= 1)).all()
