@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=None,
                    help="maximum number of individuals")
     p.add_argument("--output", help="output file for the genotype table")
+    p.add_argument("--allblocks", action="store_true",
+                   help="write a genotype-table block for every analysis "
+                   "unit, including those with a data-less parental line "
+                   "(default: the reference artifact's block set)")
     p.add_argument("--lineorigin", help="output file for posterior "
                    "line-origin class tables (founder-strain tracing)")
     p.add_argument("--deserialize", help="previous dump to restore")
@@ -205,7 +209,8 @@ def main(argv=None) -> int:
 
     if args.output:
         with open(args.output, "w") as f:
-            write_genotype_table(ped, driver.pair_tables, f)
+            write_genotype_table(ped, driver.pair_tables, f,
+                                 include_all=args.allblocks)
     if args.lineorigin:
         from .io.outputs import write_line_origin_table
         with open(args.lineorigin, "w") as f:

@@ -22,7 +22,8 @@ from ..pedigree import Pedigree
 
 
 def write_genotype_table(ped: Pedigree, pair_tables: Dict[int, np.ndarray],
-                         out: TextIO, phased: bool = False):
+                         out: TextIO, phased: bool = False,
+                         include_all: bool = False):
     """Per imputed individual and chromosome: genotype-class posteriors.
 
     Default layout matches the PlantImpute output artifact
@@ -31,9 +32,27 @@ def write_genotype_table(ped: Pedigree, pair_tables: Dict[int, np.ndarray],
     classes; the documented 11/12/21/22 header is the workflow's
     description of them, demo.sh:30-31).  ``phased=True`` instead emits
     the full ordered posteriors P(11) P(12) P(21) P(22) this engine
-    actually computes."""
+    actually computes.
+
+    By default a block is written only when every parental line of the
+    analysis unit carries genotype data (the parent itself or one of its
+    parents is non-``empty``) — the reference artifact's block set:
+    ``demooutput`` has C and D (aux parents backed by genotyped founders
+    A, B) but not F, whose parent H never appears in the .gen file.
+    ``include_all=True`` writes every ``dous`` member."""
+    def _line_informative(pid: int) -> bool:
+        par = ped.by_id(pid) if pid else None
+        if par is None:
+            return False
+        if not par.empty:
+            return True
+        return any(gp and not ped.by_id(gp).empty for gp in par.pars)
+
     for n in ped.dous:
         ind = ped.by_id(n)
+        if not include_all and not all(_line_informative(p)
+                                       for p in ind.pars):
+            continue
         for c in range(ped.num_chromosomes):
             lo, hi = ped.chromosome_range(c)
             out.write(f"{ind.name}:{c + 1}\n")

@@ -100,8 +100,17 @@ def test_demo_pipeline():
     write_genotype_table(ped, drv.pair_tables, buf)
     text = buf.getvalue()
     assert text.startswith("C:1\n")
+    # default block set matches the reference artifact: C and D but not
+    # F (parent H has no genotype line) — demooutput's exact block list
+    heads = [r for r in text.splitlines() if r and "\t" not in r]
+    assert heads == ["C:1", "D:1"]
     rows = [r for r in text.splitlines() if "\t" in r]
-    assert len(rows) == 3 * 18
+    assert len(rows) == 2 * 18
+    buf_all = io.StringIO()
+    write_genotype_table(ped, drv.pair_tables, buf_all, include_all=True)
+    heads_all = [r for r in buf_all.getvalue().splitlines()
+                 if r and "\t" not in r]
+    assert heads_all == ["C:1", "D:1", "F:1"]
     vals = np.array([[float(v) for v in r.split("\t")] for r in rows])
     np.testing.assert_allclose(vals.sum(axis=1), 1.0, atol=2e-5)
     assert (vals[:, 3] == 0).all()
