@@ -89,7 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.parentswap and args.flipmode != "negshift":
+        # swap moves only exist on the legacy path; silently ignoring
+        # the flag would surprise the user
+        parser.error("--parentswap requires --flipmode negshift")
     import jax
     if args.x64:
         jax.config.update("jax_enable_x64", True)

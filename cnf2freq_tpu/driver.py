@@ -550,6 +550,7 @@ class Driver:
         coh_num = np.zeros((NI, M))
         coh_den = np.zeros((NI, M))
         winners: List[Optional[FlipCandidate]] = []
+        swap_cands: list = []  # parent-pair swap hypotheses, all chroms
 
         lut = np.full(max(ids) + 1, NI, dtype=np.int32)
         for n, i in ind_index.items():
@@ -701,9 +702,20 @@ class Driver:
                         winner = negshift_flips(
                             ped, dous, lo, hi, unscaled, cfg)
                         if self.parent_swap:
+                            # score now; dominance + execution happen
+                            # once, genome-wide, after the parameter
+                            # updates — the reference calls
+                            # parentswapnegshifts after negshifter AND
+                            # after updatehaploweights
+                            # (cnF2freq.cpp:6335-6371), and swap moves
+                            # flip haploweight without mirroring
+                            # haplobase, so applying them before the
+                            # haploweight blend would let stale
+                            # haplobase/haplocount partially revert
+                            # them whenever scalefactor is nonzero.
                             from .updates.negshift import \
-                                parent_swap_negshifts
-                            parent_swap_negshifts(
+                                parent_swap_candidates
+                            swap_cands += parent_swap_candidates(
                                 ped, dous, lo, hi, unscaled, cfg)
                     else:
                         with self.tracer.span("optimise"):
@@ -737,6 +749,12 @@ class Driver:
             with self.tracer.span("haploweights"):
                 hits += self._update_haploweights(ids, haplobase,
                                                   haplocount, sf)
+        if swap_cands:
+            # one genome-wide dominance pass, after the updates — the
+            # reference's parentswapnegshifts placement
+            # (cnF2freq.cpp:6369-6371)
+            from .updates.negshift import apply_parent_swaps
+            apply_parent_swaps(ped, swap_cands)
         self._adapt_scalefactor(any_inv, hits, len(dous))
         self.tracer.metric(event="iteration", iter=st.iter, hitnnn=hits,
                            inverted=any_inv,

@@ -39,7 +39,12 @@ def write_genotype_table(ped: Pedigree, pair_tables: Dict[int, np.ndarray],
     parents is non-``empty``) — the reference artifact's block set:
     ``demooutput`` has C and D (aux parents backed by genotyped founders
     A, B) but not F, whose parent H never appears in the .gen file.
-    ``include_all=True`` writes every ``dous`` member."""
+    The rule is a heuristic inferred from that one artifact (the
+    reference's own reporter is commented out at HEAD,
+    cnF2freq.cpp:5553/5873, so no second golden exists); skipped blocks
+    are therefore *counted and announced on stderr* so a silently
+    dropped block is always visible.  ``include_all=True`` writes every
+    ``dous`` member.  Returns the list of skipped individual names."""
     def _line_informative(pid: int) -> bool:
         par = ped.by_id(pid) if pid else None
         if par is None:
@@ -48,10 +53,12 @@ def write_genotype_table(ped: Pedigree, pair_tables: Dict[int, np.ndarray],
             return True
         return any(gp and not ped.by_id(gp).empty for gp in par.pars)
 
+    skipped = []
     for n in ped.dous:
         ind = ped.by_id(n)
         if not include_all and not all(_line_informative(p)
                                        for p in ind.pars):
+            skipped.append(ind.name)
             continue
         for c in range(ped.num_chromosomes):
             lo, hi = ped.chromosome_range(c)
@@ -71,6 +78,13 @@ def write_genotype_table(ped: Pedigree, pair_tables: Dict[int, np.ndarray],
                                         p[1, 1], 0.0])
                 out.write("\t".join(f"{v:.5f}" for v in row) + "\n")
             out.write("\n")
+    if skipped:
+        import sys
+        print(f"genotype table: skipped {len(skipped)} block(s) with a "
+              f"data-less parental line ({', '.join(skipped)}); pass "
+              "include_all=True / --allblocks to emit them",
+              file=sys.stderr)
+    return skipped
 
 
 def write_line_origin_table(ped: Pedigree, tables: Dict[int, np.ndarray],

@@ -175,32 +175,48 @@ def accumulate_pair_scores(ped: Pedigree, dous: List[int], lo: int,
     return nsm
 
 
-def parent_swap_negshifts(ped: Pedigree, dous: List[int], lo: int, hi: int,
-                          weights: np.ndarray, cfg: ModelConfig,
-                          phases: Tuple[int, ...] = (2,)
-                          ) -> List[Tuple[int, int, int, int, float]]:
-    """parentswapnegshifts (cnF2freq.cpp:5004-5084) for one chromosome.
+def parent_swap_candidates(ped: Pedigree, dous: List[int], lo: int,
+                           hi: int, weights: np.ndarray, cfg: ModelConfig,
+                           phases: Tuple[int, ...] = (2,)
+                           ) -> List[Tuple[float, int, int, int, int, int]]:
+    """Scoring stage of parentswapnegshifts for one chromosome.
 
-    Scores every (parent pair, marker, phase) hypothesis, then greedily
-    accepts the best positive-gain move per parent pair (each accepted
-    move raises both members' ``bestshift`` bar) and applies the tail
-    flips to ``haploweight`` directly — no haplobase bookkeeping, no
-    lastinved update, exactly like the reference's emulated shifts
-    (cnF2freq.cpp:5055-5082).  ``phases`` defaults to ``(2,)``, the only
+    Returns every (parent pair, marker, phase) hypothesis as
+    ``(score, par0, par1, phase, marker, chrom_end)`` — the caller feeds
+    candidates from *all* chromosomes into one
+    :func:`apply_parent_swaps` pass, matching the reference's single
+    genome-wide nsm map and single parentswapnegshifts call per pass
+    (cnF2freq.cpp:5004-5084).  ``phases`` defaults to ``(2,)``, the only
     code enabled at reference HEAD (cnF2freq.cpp:5017-5018).
-    Returns the applied moves as (par0, par1, phase, marker, score).
     """
     nsm = accumulate_pair_scores(ped, dous, lo, hi, weights, cfg)
-    cands: List[Tuple[float, Tuple[int, int], int, int]] = []
+    cands: List[Tuple[float, int, int, int, int, int]] = []
     for (p0, p1), acc in nsm.items():
         for k in phases:
             for m in range(hi - lo):
                 # - 1e-5 tie-break margin (cnF2freq.cpp:5018)
-                cands.append((acc[m, k] - 1e-5, (p0, p1), k, lo + m))
-    cands.sort(key=lambda t: (-t[0], t[1], t[2], t[3]))
+                cands.append((acc[m, k] - 1e-5, p0, p1, k, lo + m, hi))
+    return cands
+
+
+def apply_parent_swaps(ped: Pedigree,
+                       cands: List[Tuple[float, int, int, int, int, int]]
+                       ) -> List[Tuple[int, int, int, int, float]]:
+    """Genome-wide dominance + execution of parent-pair swap moves.
+
+    Greedily accepts the best positive-gain move per parent pair across
+    *all* candidate chromosomes (each accepted move raises both members'
+    ``bestshift`` bar, so a parent takes at most one move genome-wide —
+    the reference's dominance scope, cnF2freq.cpp:5032-5037) and applies
+    the tail flips to ``haploweight`` directly — no haplobase
+    bookkeeping, no lastinved update, exactly like the reference's
+    emulated shifts (cnF2freq.cpp:5055-5082).
+    Returns the applied moves as (par0, par1, phase, marker, score).
+    """
+    cands = sorted(cands, key=lambda t: (-t[0], t[1], t[2], t[3], t[4]))
     bestshift: Dict[int, float] = {}
     applied: List[Tuple[int, int, int, int, float]] = []
-    for score, (p0, p1), k, m in cands:
+    for score, p0, p1, k, m, hi in cands:
         if score <= bestshift.get(p0, 0.0) or score <= bestshift.get(p1, 0.0):
             continue
         bestshift[p0] = score
@@ -220,6 +236,21 @@ def parent_swap_negshifts(ped: Pedigree, dous: List[int], lo: int, hi: int,
                     1.0 - inds[z].haploweight[m + 1:hi]
         applied.append((p0, p1, k, m, score))
     return applied
+
+
+def parent_swap_negshifts(ped: Pedigree, dous: List[int], lo: int, hi: int,
+                          weights: np.ndarray, cfg: ModelConfig,
+                          phases: Tuple[int, ...] = (2,)
+                          ) -> List[Tuple[int, int, int, int, float]]:
+    """parentswapnegshifts (cnF2freq.cpp:5004-5084) for one chromosome:
+    score + genome-wide-style dominance + apply, in one call.  The
+    production driver instead collects :func:`parent_swap_candidates`
+    across chromosomes and runs :func:`apply_parent_swaps` once per
+    iteration, after the parameter updates — the reference's call order
+    (cnF2freq.cpp:6335-6371)."""
+    return apply_parent_swaps(
+        ped, parent_swap_candidates(ped, dous, lo, hi, weights, cfg,
+                                    phases))
 
 
 def negshift_flips(ped: Pedigree, dous: List[int], lo: int, hi: int,

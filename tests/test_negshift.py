@@ -211,6 +211,32 @@ def test_parent_swap_phase4_flips_full_sibs():
     np.testing.assert_allclose(half.haploweight, hwh)
 
 
+def test_parent_swap_genome_wide_dominance():
+    """A parent pair accepts at most ONE move across chromosomes when
+    candidates from several chromosomes feed a single
+    apply_parent_swaps pass (the reference fills one nsm genome-wide and
+    runs parentswapnegshifts once, cnF2freq.cpp:5004-5084)."""
+    from cnf2freq_tpu.updates.negshift import apply_parent_swaps
+    ped = make_ped()
+    by, _ = family(ped, "g")
+    by["gkid"].pars = (by["gp0"].n, by["gp1"].n)
+    ped.dous = [by["gkid"].n]
+    finish(ped)
+    M = ped.num_markers
+    p0, p1 = by["gp0"].n, by["gp1"].n
+    # two candidates for the same pair, as if from two chromosomes
+    cands = [(3.0, p0, p1, 2, 1, M // 2),      # "chromosome 0", wins
+             (2.0, p0, p1, 2, M // 2 + 1, M)]  # "chromosome 1", dominated
+    hw1 = by["gp1"].haploweight.copy()
+    applied = apply_parent_swaps(ped, cands)
+    assert [mv[3] for mv in applied] == [1]
+    np.testing.assert_allclose(by["gp1"].haploweight[2:M // 2],
+                               1.0 - hw1[2:M // 2])
+    # the dominated second-chromosome tail stays untouched
+    np.testing.assert_allclose(by["gp1"].haploweight[M // 2:],
+                               hw1[M // 2:])
+
+
 def test_driver_parent_swap_demo():
     from cnf2freq_tpu.driver import Driver
     from cnf2freq_tpu.io import load_plantimpute
