@@ -55,11 +55,16 @@ class Driver:
         # Host-side stages (flips, capped-GD updates) consume the
         # replicated merged accumulators unchanged.
         self.mesh = mesh
-        if self.cfg.selfing or self.cfg.relskewstates:
+        # Extended state spaces (SELFING / RELSKEWSTATES) run the full
+        # iteration loop through engine_ext.chromosome_scan_ext; the
+        # standard-space-only extras (parity trajectory emulation,
+        # coherence measurement, map re-estimation, blocked scans,
+        # line-origin reporting) stay gated.
+        self.ext = self.cfg.selfing or self.cfg.relskewstates
+        if self.ext and parity:
             raise NotImplementedError(
-                "the iteration driver runs the standard state space; for "
-                "the SELFING / RELSKEWSTATES families use the analysis "
-                "scans in models.selfing / models.relskew_states")
+                "parity mode emulates the reference's default build "
+                "(standard state space)")
         self.params = params or RuntimeParams()
         self.state = DriverState(scalefactor=self.params.scalefactor)
         self.dtype = dtype
@@ -81,8 +86,9 @@ class Driver:
         # Feed the relskew machinery with measured adjacent-phase
         # coherence each iteration (the statistic relhaplo is designed to
         # carry; the reference's PlantImpute path leaves it inert at 0.5).
-        # Dramatically speeds phase convergence; disabled in parity mode.
-        self.adaptive_relhaplo = not parity
+        # Dramatically speeds phase convergence; disabled in parity mode
+        # and on the extended state spaces (no coherence pass there).
+        self.adaptive_relhaplo = not parity and not self.ext
         # Genetic-map re-estimation (the reference's default-off
         # DOREMAPDISTANCES, redesigned as a direct posterior EM update of
         # per-sex per-interval rates).
@@ -131,23 +137,27 @@ class Driver:
         return self._scan_cache[key]
 
     def _n_variants(self) -> int:
-        """4 probe-dedup sign variants when any analysis family has an
-        individual occupying two slots (probes.probe_rule_factors), else
-        1.  Only parity mode applies the ignoreflag2 dedup rules, so
-        non-parity drivers always use 1."""
-        if not self.parity:
+        """Probe-dedup sign variants: 2**(pair constraints) of the
+        deepest duplicate-member family in the cohort (a member in k
+        slots needs k-1 constraints; ignoreflag2 rule 2,
+        cnF2freq.cpp:3478).  Applied in parity mode (all dedup rules)
+        and on the extended state spaces (rule 2 stays active there —
+        and selfed units hold their parent in both parent slots);
+        plain non-parity standard runs use 1."""
+        if not (self.parity or self.ext):
             return 1
         key = ("n_variants",)
         if key not in self._scan_cache:
             n = 1
             for d in self.ped.dous:
                 slots = self.ped.family_slots(d)
-                seen = set()
+                groups = {}
                 for s, sid in enumerate(slots):
                     if sid and not self.ped.by_id(sid).empty:
-                        if sid in seen:
-                            n = 4
-                        seen.add(sid)
+                        groups.setdefault(sid, []).append(s)
+                cons = sum(len(g) - 1 for g in groups.values()
+                           if len(g) > 1)
+                n = max(n, 1 << cons)
             self._scan_cache[key] = n
         return self._scan_cache[key]
 
@@ -534,6 +544,11 @@ class Driver:
     # ------------------------------------------------------------------
     def iterate(self, early: bool = False):
         import jax.numpy as jnp
+        if self.ext and (self.remap_distances or
+                         self.marker_block is not None):
+            raise NotImplementedError(
+                "map re-estimation and marker-blocked scans support the "
+                "standard state space only")
         ped, cfg, params = self.ped, self.cfg, self.params
         st = self.state
         st.iter += 1
@@ -605,7 +620,8 @@ class Driver:
                     fbatch = gather_family(ped, chunk, lo, hi - 1,
                                            dtype=self.dtype,
                                            mask_mode=self.mask_mode,
-                                           parity=self.parity)
+                                           parity=self.parity,
+                                           n_variants=self._n_variants())
                     if Mp > Mc:
                         from .parallel.mesh import pad_markers
                         fbatch = pad_markers(fbatch, Mp)

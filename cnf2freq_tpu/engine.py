@@ -64,6 +64,19 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
                     use_scan_v2: bool = None, ratemat=None,
                     n_variants: int = 1,
                     probe_rules: bool = False) -> ScanResult:
+    if cfg.selfing or cfg.relskewstates:
+        # extended state spaces run the dedicated (V, state)-factored
+        # pipeline; probe-dedup rules don't apply there (the reference
+        # disables ignoreflag2 rules 2-3 for the extended builds,
+        # cnF2freq.cpp:3480-3487)
+        if probe_rules:
+            raise NotImplementedError(
+                "probe dedup rules are standard-space only")
+        from .engine_ext import chromosome_scan_ext
+        return chromosome_scan_ext(fb, dists, cfg, params,
+                                   with_infprobs=with_infprobs,
+                                   ratemat=ratemat,
+                                   n_variants=n_variants)
     if use_scan_v2 is None:
         use_scan_v2 = _scan_v2_default(cfg)
     stats_dtype_ok_v2 = (fb.ms.dtype == jnp.float32
@@ -194,10 +207,13 @@ def make_jitted_scan_merged(cfg: ModelConfig, params: RuntimeParams,
         hb, hc = merge_haplos(res.haplo_b12, res.haplo_mask, fb.hw,
                               fb.slot_ind, fb.descendants, lut,
                               num_individuals)
+        # duplicate-slot damping counts non-empty occurrences only
+        # (reltreeordered, cnF2freq.cpp:3127-3152); relevant whenever the
+        # dedup rules run — parity mode and the extended state spaces
+        empty = fb.emptyslot if (probe_rules or cfg.selfing or
+                                 cfg.relskewstates) else None
         inf = merge_infprobs(res.inf_accum, fb.slot_ind, fb.descendants,
-                             lut, num_individuals,
-                             emptyslot=fb.emptyslot if probe_rules
-                             else None)
+                             lut, num_individuals, emptyslot=empty)
         return res, hb, hc, inf
 
     return run

@@ -149,7 +149,11 @@ class GoldenDoit:
             eng.hooks.haplos.clear()
             eng.hooks.infprobs.clear()
             homozyg_m = np.zeros(2)
-            for g in range(cfg.numtypes):
+            # the reference probes its full (padded) extended space
+            # (NUMTYPES includes the selfing/relskew bits, settings.h:27;
+            # probe loop cnF2freq.cpp:5416); states beyond numstates are
+            # the invalid selfval==3 block, which carries no probability
+            for g in range(cfg.numstates):
                 for s in range(shiftend):
                     if s & shiftignore:
                         continue
@@ -189,7 +193,15 @@ class GoldenDoit:
                         svs = sidevals.sum(axis=1)
                         for side in range(2):
                             for mv in (1, 2):
-                                uv = val * sidevals[side][mv - 1] / svs[side]
+                                # svs == 0: the reference computes a NaN
+                                # updateval here (no guard,
+                                # cnF2freq.cpp:5566) but the GENOS walk
+                                # it feeds is the impossible one that
+                                # produced the zero sidevalsum, so no
+                                # hook ever fires — 0.0 is equivalent
+                                # and keeps the spec NaN-free
+                                uv = (val * sidevals[side][mv - 1]
+                                      / svs[side]) if svs[side] else 0.0
                                 eng.trackpossible(
                                     ind, GENOS, 0, mv, 0.0, m,
                                     g * 2 + side, flag2 ^ side, s,

@@ -445,7 +445,10 @@ class GoldenEngine:
         fb_flip = fbs[shift ^ sflip]
         i = q - startmark
         val = 0.0
-        for gg in range(cfg.numtypes):
+        # turn masks only touch base-state bits (aroundturner keeps the
+        # selfing/relskew bits fixed: turn & 54, cnF2freq.cpp:504-515),
+        # so the xor walks within each extended-value block
+        for gg in range(cfg.numstates):
             val += fb_here["fw_post"][i][gg] * fb_flip["bw"][i][gg ^ tstate]
         if val <= 0:
             return MINFACTOR

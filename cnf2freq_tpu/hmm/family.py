@@ -46,6 +46,15 @@ class FamilyBatch:
     # exact indicator of phase-bit equality across duplicate-member slots
     emptyslot: np.ndarray = None   # [B, 7] bool
     dup_flip: np.ndarray = None    # [B, 4, 7] bool
+    # extended state spaces (engine_ext.py):
+    # selfgen [B] int32 — selfing generations of the focal (gen - 2,
+    # clamped at 0; selfingfactors/selfprec, cnF2freq.cpp:2050-2063,
+    # 2316-2327).  Only filled when cfg.selfing.
+    selfgen: np.ndarray = None
+    # relh [B, M] — the focal's relhaplo (phase-coherence transition
+    # weights of the RELSKEWSTATES coherence bit, cnF2freq.cpp:2343-2362).
+    # Only filled when cfg.relskewstates.
+    relh: np.ndarray = None
 
     @property
     def num_units(self) -> int:
@@ -56,7 +65,8 @@ class FamilyBatch:
         return self.md.shape[2]
 
     def map(self, fn):
-        return FamilyBatch(**{f.name: fn(getattr(self, f.name))
+        return FamilyBatch(**{f.name: (fn(v) if (v := getattr(self, f.name))
+                                       is not None else None)
                               for f in dataclasses.fields(self)})
 
 
@@ -79,7 +89,8 @@ except Exception:  # pragma: no cover
 def gather_family(ped: Pedigree, focal_ids: Sequence[int],
                   startmark: int, endmark: int,
                   dtype=np.float64, mask_mode: str = "missing",
-                  parity: bool = False) -> \
+                  parity: bool = False,
+                  n_variants: int = None) -> \
         FamilyBatch:
     """Build the batch for markers [startmark, endmark] inclusive.
 
@@ -90,7 +101,14 @@ def gather_family(ped: Pedigree, focal_ids: Sequence[int],
     mask_mode selects the canonical-path mask: "missing" (default) pins
     only vacant slots — the correct restriction; "reference" reproduces
     the reference's fixtrees mask that also pins empty members
-    (cnF2freq.cpp:3099-3187), for parity testing."""
+    (cnF2freq.cpp:3099-3187), for parity testing.
+
+    n_variants pins the probe-dedup variant count (the dup_flip axis):
+    a member occupying k slots needs 2**(k-1) sign variants, multiplied
+    across duplicate groups; the driver computes the cohort-wide maximum
+    once (Driver._n_variants) so every chunk shares one compiled scan.
+    Units with fewer variants repeat theirs cyclically — exact, since
+    every per-unit count divides the (power-of-two) maximum."""
     cfg: ModelConfig = ped.config
     B = len(focal_ids)
     S = cfg.numslots
@@ -106,7 +124,10 @@ def gather_family(ped: Pedigree, focal_ids: Sequence[int],
     desc = np.zeros(B, dtype=np.int32)
     slot_ind = np.zeros((B, S), dtype=np.int32)
     emptyslot = np.zeros((B, S), dtype=bool)
-    dup_flip = np.zeros((B, 4, S), dtype=bool)
+    unit_cons: List[List] = []
+
+    selfgen = np.zeros(B, dtype=np.int32) if cfg.selfing else None
+    relh = np.full((B, M), 0.5, dtype=dtype) if cfg.relskewstates else None
 
     sl = slice(startmark, endmark + 1)
     for b, n in enumerate(focal_ids):
@@ -116,6 +137,10 @@ def gather_family(ped: Pedigree, focal_ids: Sequence[int],
         slots = ped.family_slots(n)
         focal = ped.by_id(n)
         desc[b] = focal.descendants
+        if selfgen is not None:
+            selfgen[b] = max(focal.gen - 2, 0)
+        if relh is not None and focal.relhaplo is not None:
+            relh[b] = focal.relhaplo[sl]
         if parity and focal.gen < 2:
             # the reference truncates gen<2 analysis to shift modes {0,1}
             # (cnF2freq.cpp:5359); default mode keeps the full symmetric
@@ -134,28 +159,39 @@ def gather_family(ped: Pedigree, focal_ids: Sequence[int],
             # grandparent slots are tops by depth; others by founder flag
             is_gp = s not in (0, cfg.parent_slot(0), cfg.parent_slot(1))
             attop[b, s] = ind.founder or (is_gp and cfg.numgen == 3)
-        # duplicate-member slot pairs (fixtrees relmap members with
-        # multiple flag2 bits): probe stats must tie their phase bits
+        # duplicate-member slot groups (fixtrees relmap members with
+        # multiple flag2 bits; ignoreflag2 rule 2, cnF2freq.cpp:3478):
+        # probe stats must tie the group's phase bits.  Each group of k
+        # slots contributes k-1 pair constraints (anchor, other); the
+        # exact equality indicator is the average over all 2**constraints
+        # sign variants of prod (-1)^(phase bit of flipped slot).
         groups = {}
         for s, sid in enumerate(slots):
             if sid and not emptyslot[b, s]:
                 groups.setdefault(sid, []).append(s)
-        pairs = [v for v in groups.values() if len(v) > 1]
-        if parity and any(len(v) > 2 for v in pairs):
-            raise NotImplementedError(
-                "an individual occupies more than two family slots "
-                "(deep inbreeding); the tensorized probe dedup supports "
-                "pairs only")
-        if parity and len(pairs) > 2:
-            raise NotImplementedError(
-                "more than two duplicate-member pairs in one family")
-        pairs = [v for v in pairs if len(v) == 2][:2]
-        for pi, pair in enumerate(pairs):
-            for v in range(4):
-                if (v >> pi) & 1:
-                    dup_flip[b, v, pair[0]] = True
-                    dup_flip[b, v, pair[1]] = True
+        dgroups = [v for v in groups.values() if len(v) > 1]
+        cons = [(g[0], s) for g in dgroups for s in g[1:]]
+        unit_cons.append(cons)
+    n_local = max((1 << len(c) for c in unit_cons), default=1)
+    NV = n_variants if n_variants is not None else max(4, n_local)
+    # NV == 1 is the "dedup rules off" convention (plain standard-space
+    # runs); an insufficient NV > 1 would silently mis-average, so raise
+    if 1 < NV < n_local:
+        raise ValueError(
+            f"a family needs {n_local} probe-dedup variants but the "
+            f"batch was built with n_variants={NV}; pass the cohort "
+            "maximum (Driver._n_variants)")
+    NV = max(NV, 1)
+    dup_flip = np.zeros((B, NV, S), dtype=bool)
+    for b, cons in enumerate(unit_cons):
+        n_u = 1 << len(cons)
+        for v in range(NV):
+            t = v % n_u
+            for ci, (anchor, other) in enumerate(cons):
+                if (t >> ci) & 1:
+                    dup_flip[b, v, other] ^= True
+                    dup_flip[b, v, anchor] ^= True
     return FamilyBatch(md=md, ms=ms, hw=hw, exists=exists, attop=attop,
                        flag2ignore=f2ig, shiftignore=shig, descendants=desc,
                        slot_ind=slot_ind, emptyslot=emptyslot,
-                       dup_flip=dup_flip)
+                       dup_flip=dup_flip, selfgen=selfgen, relh=relh)

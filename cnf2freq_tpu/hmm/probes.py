@@ -75,9 +75,13 @@ def _valid_paths(flag2ignore: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def probe_rule_factors(fb: FamilyBatch, cfg: ModelConfig, dtype,
-                       variant: int = 0):
+                       variant: int = 0, tied_rule: bool = True):
     """Multiplicative probe-survival factors for ignoreflag2 rules 2-3
     (cnF2freq.cpp:3462-3496), applied to the stats contractions.
+
+    tied_rule=False applies rule 2 (duplicate-member consistency) only —
+    the extended-state builds disable rule 3 in the reference
+    (the ``!SELFING && !RELSKEWSTATES`` gate, cnF2freq.cpp:3480-3487).
 
     Rule 3 (shift-tied dedup): a relmap member whose genotype is a
     duplicate pair with equal error values admits a probe only when its
@@ -97,6 +101,8 @@ def probe_rule_factors(fb: FamilyBatch, cfg: ModelConfig, dtype,
         (md[..., 0] == md[..., 1]) & (ms[..., 0] == ms[..., 1])
     tied = jnp.moveaxis(tied, 1, 2)                    # [b, m, slot]
 
+    if not tied_rule:
+        tied = jnp.zeros_like(tied)
     r0 = np.arange(2)[:, None]
     s0 = np.arange(2)[None, :]
     f_allow = jnp.asarray((r0 ^ s0) * ones)            # [r0, s0]
@@ -446,15 +452,19 @@ class InfprobStats(NamedTuple):
 
 
 def _share_blocks(fb: FamilyBatch, cfg: ModelConfig, side: int, mv: int,
-                  ci: bool, dtype):
+                  ci: bool, dtype, root_override=None):
     """U[b,m,r',fp,fpath,s0,sk] for the side-branch of a GENOSPROBE with
-    root value mv; factors common to both mv cancel in the share ratio."""
+    root value mv; factors common to both mv cancel in the share ratio.
+
+    root_override: the selfing HBD-collapsed focal pair (the GENOSPROBE
+    recursion applies the same root collapse as the plain probes,
+    cnF2freq.cpp:1131-1189)."""
     from .emission import parent_block, root_block, slot_data
     focal = slot_data(fb, 0)
     B, M = fb.md.shape[0], fb.md.shape[2]
     inval = jnp.full((B, M), mv, dtype=jnp.int32)
     rb = root_block(focal, ci=ci, haplotyping=cfg.haplotyping, inval=inval,
-                    side=side, dtype=dtype)
+                    side=side, dtype=dtype, root_override=root_override)
     par = slot_data(fb, cfg.parent_slot(side))
     gps = [slot_data(fb, cfg.grandparent_slot(side, j)) for j in range(2)]
     pbp = parent_block(par, gps[0], gps[1], rb.vA, rb.svA, ci=ci,
@@ -466,7 +476,9 @@ def _share_blocks(fb: FamilyBatch, cfg: ModelConfig, side: int, mv: int,
 
 def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
                   cfg: ModelConfig, ci: bool = False,
-                  t01=None, froot=None, PB=None) -> InfprobStats:
+                  t01=None, froot=None, PB=None,
+                  root_override=None,
+                  drop_side1: bool = False) -> InfprobStats:
     """For every (b, m): the GENOS accumulator additions per family slot,
     allele slot and candidate allele, plus the joint ordered-genotype
     posterior.
@@ -488,7 +500,8 @@ def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
     # share tensors per (side, mv), aligned to the standard probe's r axis
     shares = {}
     for side in range(2):
-        us = [_share_blocks(fb, cfg, side, mv, ci, dtype) for mv in (1, 2)]
+        us = [_share_blocks(fb, cfg, side, mv, ci, dtype,
+                            root_override=root_override) for mv in (1, 2)]
         den = us[0] + us[1]
         for i, mv in enumerate((1, 2)):
             sh = jnp.where(den > 0, us[i] / jnp.where(den > 0, den, 1.0),
@@ -537,20 +550,28 @@ def infprob_stats(W: jnp.ndarray, blocks: EmissionBlocks, fb: FamilyBatch,
             out[cfg.grandparent_slot(0, j)] = \
                 out[cfg.grandparent_slot(0, j)].at[..., :, mvi].add(ng[j])
 
-        # side 1: traced branch is parent 1
-        X1 = jnp.einsum("zmrt,zmrbqv,zmrbqtv,zmrbvt->zmrbq",
-                        froot, PB[1], shares[(1, mv)], T0)
-        nf1 = X1.sum(axis=(-1, -2))
-        np1 = jnp.einsum("zmrbq,qw->zmw", X1, RP)
-        ng1 = [jnp.einsum("zmrbq,bqw->zmw", X1, RGSEL[j]) for j in range(2)]
-        # focal allele-slot for side 1 is 1 - r
-        out[0] = out[0].at[..., :, mvi].add(
-            jnp.stack([nf1[..., 1], nf1[..., 0]], axis=-1))
-        out[cfg.parent_slot(1)] = \
-            out[cfg.parent_slot(1)].at[..., :, mvi].add(np1)
-        for j in range(2):
-            out[cfg.grandparent_slot(1, j)] = \
-                out[cfg.grandparent_slot(1, j)].at[..., :, mvi].add(ng1[j])
+        # side 1: traced branch is parent 1.  Under RELSKEWSTATES this
+        # probe is structurally dead: its flag99 = flag2 ^ 1 flips the
+        # root path bit out of the state pin's admissible range
+        # (cnF2freq.cpp:1148-1154), so the reference's sideval loop
+        # returns 0 and its GENOS walk never fires (the 0/0 updateval at
+        # cnF2freq.cpp:5566 lands on an impossible walk).
+        if not drop_side1:
+            X1 = jnp.einsum("zmrt,zmrbqv,zmrbqtv,zmrbvt->zmrbq",
+                            froot, PB[1], shares[(1, mv)], T0)
+            nf1 = X1.sum(axis=(-1, -2))
+            np1 = jnp.einsum("zmrbq,qw->zmw", X1, RP)
+            ng1 = [jnp.einsum("zmrbq,bqw->zmw", X1, RGSEL[j])
+                   for j in range(2)]
+            # focal allele-slot for side 1 is 1 - r
+            out[0] = out[0].at[..., :, mvi].add(
+                jnp.stack([nf1[..., 1], nf1[..., 0]], axis=-1))
+            out[cfg.parent_slot(1)] = \
+                out[cfg.parent_slot(1)].at[..., :, mvi].add(np1)
+            for j in range(2):
+                out[cfg.grandparent_slot(1, j)] = \
+                    out[cfg.grandparent_slot(1, j)].at[..., :, mvi].add(
+                        ng1[j])
 
     accum = jnp.stack([out[s] for s in range(cfg.numslots)], axis=2)
 

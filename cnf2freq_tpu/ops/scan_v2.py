@@ -67,7 +67,7 @@ class SlotTensors(NamedTuple):
     f2: jnp.ndarray    # [nb, TS, TL] int32
     sh: jnp.ndarray    # [nb, TS, TL] int32
     em: jnp.ndarray    # [7, nb, TS, TL] int32 (emptyslot)
-    df: jnp.ndarray    # [4, 7, nb, TS, TL] int32 (dup_flip variants)
+    df: jnp.ndarray    # [NV, 7, nb, TS, TL] int32 (dup_flip variants)
 
     @property
     def nb(self) -> int:
@@ -98,7 +98,7 @@ def prep_slots(fb: FamilyBatch, dtype) -> SlotTensors:
         md=md.reshape((7, 2, M) + t), ms=ms.reshape((7, 2, M) + t),
         hw=hw.reshape((7, M) + t), ex=ex.reshape((7,) + t),
         at=at.reshape((7,) + t), f2=f2.reshape(t), sh=sh.reshape(t),
-        em=em.reshape((7,) + t), df=df.reshape((4, 7) + t))
+        em=em.reshape((7,) + t), df=df.reshape((-1, 7) + t))
 
 
 # ---------------------------------------------------------------------------

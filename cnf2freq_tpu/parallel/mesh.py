@@ -80,8 +80,13 @@ def pad_markers(fb: FamilyBatch, m_target: int) -> FamilyBatch:
         widths = [(0, 0), (0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 3)
         return np.pad(np.asarray(x), widths, constant_values=val)
 
+    relh = fb.relh
+    if relh is not None:
+        relh = np.pad(np.asarray(relh), [(0, 0), (0, pad)],
+                      constant_values=0.5)
     return dataclasses.replace(
-        fb, md=padm(fb.md, 0), ms=padm(fb.ms, 0.0), hw=padm(fb.hw, 0.5))
+        fb, md=padm(fb.md, 0), ms=padm(fb.ms, 0.0), hw=padm(fb.hw, 0.5),
+        relh=relh)
 
 
 def shard_batch(fb: FamilyBatch, mesh: Mesh) -> FamilyBatch:

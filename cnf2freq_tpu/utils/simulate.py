@@ -98,6 +98,80 @@ def simulate_f2(n_f2: int = 100, n_markers: int = 100,
     return ped
 
 
+def simulate_selfed(n_lines: int = 20, n_markers: int = 30,
+                    generations: int = 4, marker_spacing_cm: float = 2.0,
+                    missing_rate: float = 0.2, error_rate: float = 0.01,
+                    seed: int = 0) -> Pedigree:
+    """Selfed-line cohort for the SELFING model family: founders
+    A=(1,1), B=(2,2) -> F1 -> per line, a chain of ``generations - 2``
+    selfing steps (each child's two gametes drawn from ONE parent — the
+    process the reference's HBD state bits model, settings.h:33-46,
+    selfprec cnF2freq.cpp:2316-2327).  dous are the final-generation
+    individuals; intermediate generations are genotyped with the same
+    observation model.  ``ped.truths`` maps id -> [M, 2] true alleles."""
+    assert generations >= 3, "selfing needs gen >= 3 (selfgen = gen - 2)"
+    from ..config import ModelConfig
+    rng = np.random.default_rng(seed)
+    ped = Pedigree(ModelConfig(selfing=True))
+    ped.markerposes = np.arange(n_markers) * marker_spacing_cm
+    ped.chromstarts = [0, n_markers]
+    M = n_markers
+
+    def meiosis(geno):
+        d = np.diff(ped.markerposes)
+        rec = 0.5 * (1 - np.exp(-2 * d / 100.0))
+        strand = rng.integers(0, 2)
+        idx = [strand]
+        for r in rec:
+            if rng.random() < r:
+                strand ^= 1
+            idx.append(strand)
+        return geno[np.arange(M), idx]
+
+    def observe(ind, truth):
+        ind.empty = False
+        md = truth.copy()
+        err = rng.random((M, 2)) < error_rate
+        md[err] = 3 - md[err]
+        miss = rng.random(M) < missing_rate
+        md[miss] = UNKNOWN
+        ind.markerdata[:] = md
+        ind.markersure[:] = np.where(md != UNKNOWN, error_rate, 0.0)
+        ind.priormarkerdata = ind.markerdata.copy()
+        ind.priormarkersure = ind.markersure.copy()
+        ind.has_prior = True
+
+    names = ["A", "B", "F1"] + \
+        [f"L{i}_G{g}" for i in range(n_lines)
+         for g in range(2, generations + 1)]
+    for nm in names:
+        ped.getind(nm)
+    ped.freeze()
+    A, B, F1 = ped.getind("A"), ped.getind("B"), ped.getind("F1")
+    truths = {A.n: np.full((M, 2), 1, dtype=np.int32),
+              B.n: np.full((M, 2), 2, dtype=np.int32)}
+    F1.pars = (A.n, B.n)
+    F1.gen = 1
+    truths[F1.n] = np.stack([meiosis(truths[A.n]), meiosis(truths[B.n])],
+                            axis=1)
+    observe(A, truths[A.n])
+    observe(B, truths[B.n])
+    observe(F1, truths[F1.n])
+    for i in range(n_lines):
+        parent = F1
+        for g in range(2, generations + 1):
+            ind = ped.getind(f"L{i}_G{g}")
+            ind.pars = (parent.n, parent.n)
+            ind.gen = g
+            truths[ind.n] = np.stack([meiosis(truths[parent.n]),
+                                      meiosis(truths[parent.n])], axis=1)
+            observe(ind, truths[ind.n])
+            parent = ind
+        ped.dous.append(parent.n)
+    ped.truths = truths
+    return ped
+
+
 def simulate_plantimpute_files(dirpath, n_f2: int = 20, n_markers: int = 30,
                                spacing_cm: float = 5.0,
                                missing_rate: float = 0.1,

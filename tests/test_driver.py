@@ -325,16 +325,20 @@ def test_driver_scan_v2_interpret():
         del os.environ["CNF2FREQ_SCAN_V2"]
 
 
-def test_driver_rejects_extended_state_spaces():
-    """SELFING / RELSKEWSTATES configs must not silently run the
-    standard engine (their analysis scans live in models/)."""
+def test_driver_extended_state_space_gates():
+    """SELFING / RELSKEWSTATES run the full iteration loop through
+    engine_ext; the standard-space-only extras stay gated with clear
+    errors."""
     import dataclasses
 
     import pytest
 
-    from cnf2freq_tpu.config import ModelConfig
-
     ped = simulate_f2(n_f2=3, n_markers=4, seed=1)
     ped.config = dataclasses.replace(ped.config, selfing=True)
+    drv = Driver(ped)
+    assert drv.ext and not drv.adaptive_relhaplo
     with pytest.raises(NotImplementedError):
-        Driver(ped)
+        Driver(ped, parity=True)
+    drv.remap_distances = True
+    with pytest.raises(NotImplementedError):
+        drv.iterate()

@@ -1,0 +1,241 @@
+"""Extended-state full-iteration scans (engine_ext.py) against the golden
+doit spec run on the SELFING / RELSKEWSTATES state spaces.
+
+The golden engine's extended-space semantics are themselves validated
+1:1 against the reference's trackpossible/realanalyze extension branches
+(tests/test_selfing.py, tests/test_relskewstates.py)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from cnf2freq_tpu import ModelConfig, Pedigree
+from cnf2freq_tpu.golden.doit import GoldenDoit
+
+CFG_SELF = ModelConfig(selfing=True)
+CFG_REL = ModelConfig(relskewstates=True)
+
+
+def make_selfed_ped(M=7, seed=1):
+    """A, B founders -> C (F1) -> D (F2, selfed C) -> E, F (F3, selfed D):
+    the canonical selfing chain; dous are the two F3 sibs."""
+    rng = np.random.default_rng(seed)
+    ped = Pedigree(CFG_SELF)
+    ped.markerposes = np.linspace(0, 60, M)
+    ped.chromstarts = [0, M]
+    A, B = ped.getind("A"), ped.getind("B")
+    C = ped.getind("C")
+    C.pars = (A.n, B.n)
+    C.gen = 1
+    D = ped.getind("D")
+    D.pars = (C.n, C.n)
+    D.gen = 2
+    E, F = ped.getind("E"), ped.getind("F")
+    for x in (E, F):
+        x.pars = (D.n, D.n)
+        x.gen = 3
+    ped.dous = [E.n, F.n]
+    ped.freeze()
+    for ind in ped.inds[1:]:
+        ind.empty = False
+        ind.markersure[:] = 0.02
+        ind.haploweight[:] = rng.uniform(0.25, 0.75, M)
+    A.markerdata[:] = 1
+    B.markerdata[:] = 2
+    C.markerdata[:, 0] = 1
+    C.markerdata[:, 1] = 2
+    D.markerdata[:] = rng.integers(1, 3, (M, 2))
+    E.markerdata[:] = rng.integers(1, 3, (M, 2))
+    F.markerdata[:] = rng.integers(1, 3, (M, 2))
+    # a couple of missing genotypes exercise imputation statistics
+    E.markerdata[2] = 0
+    E.markersure[2] = 0.0
+    F.markerdata[4, 1] = 0
+    F.markersure[4, 1] = 0.0
+    for ind in ped.inds[1:]:
+        ped.fixtrees(ind.n)
+    ped.count_children()
+    ped.count_descendants()
+    return ped
+
+
+def make_relskew_ped(M=7, seed=3):
+    """Standard F2 trio family under the RELSKEWSTATES config, with a
+    non-uniform relhaplo on every member."""
+    rng = np.random.default_rng(seed)
+    ped = Pedigree(CFG_REL)
+    ped.markerposes = np.linspace(0, 60, M)
+    ped.chromstarts = [0, M]
+    names = ["g00", "g01", "g10", "g11", "p0", "p1", "k0", "k1"]
+    by = {nm: ped.getind(nm) for nm in names}
+    by["p0"].pars = (by["g00"].n, by["g01"].n)
+    by["p0"].gen = 1
+    by["p1"].pars = (by["g10"].n, by["g11"].n)
+    by["p1"].gen = 1
+    for kid in ("k0", "k1"):
+        by[kid].pars = (by["p0"].n, by["p1"].n)
+        by[kid].gen = 2
+    ped.dous = [by["k0"].n, by["k1"].n]
+    ped.freeze()
+    for ind in ped.inds[1:]:
+        ind.empty = False
+        ind.markerdata[:] = rng.integers(1, 3, (M, 2))
+        ind.markersure[:] = 0.02
+        ind.haploweight[:] = rng.uniform(0.25, 0.75, M)
+        ind.relhaplo[:] = rng.uniform(0.2, 0.8, M)
+    by["k0"].markerdata[3] = 0
+    by["k0"].markersure[3] = 0.0
+    for ind in ped.inds[1:]:
+        ped.fixtrees(ind.n)
+    ped.count_children()
+    ped.count_descendants()
+    return ped
+
+
+def _merged_scan(ped, dtype=np.float64):
+    import jax.numpy as jnp
+
+    from cnf2freq_tpu.config import RuntimeParams
+    from cnf2freq_tpu.driver import Driver
+    from cnf2freq_tpu.engine import make_jitted_scan_merged
+    from cnf2freq_tpu.hmm.family import gather_family
+
+    drv = Driver(ped)
+    nv = drv._n_variants()
+    ids = [ind.n for ind in ped.inds[1:]]
+    ind_index = {n: i for i, n in enumerate(ids)}
+    NI = len(ids)
+    lut = np.full(max(ids) + 1, NI, dtype=np.int32)
+    for n, i in ind_index.items():
+        lut[n] = i
+    M = ped.num_markers
+    fb = gather_family(ped, list(ped.dous), 0, M - 1, dtype=dtype,
+                       mask_mode="reference", n_variants=nv)
+    dists = jnp.asarray(np.diff(ped.markerposes).astype(dtype))
+    from cnf2freq_tpu.hmm.transition import rate_matrix
+    rm = jnp.asarray(rate_matrix(ped.config, RuntimeParams(), M - 1,
+                                 dtype=dtype))
+    scan_fn = make_jitted_scan_merged(ped.config, RuntimeParams(), NI,
+                                      n_variants=nv)
+    res, hb, hc, inf = scan_fn(fb.map(jnp.asarray), dists,
+                               jnp.asarray(lut), rm)
+    return (fb, res, np.asarray(hb), np.asarray(hc), np.asarray(inf),
+            ind_index, NI)
+
+
+def _golden_arrays(ped, acc, ind_index, NI):
+    M = ped.num_markers
+    ghb = np.zeros((NI, M))
+    ghc = np.zeros((NI, M))
+    ginf = np.zeros((NI, M, 2, 2))
+    for k, v in acc.haplobase.items():
+        ghb[ind_index[k]] = v
+    for k, v in acc.haplocount.items():
+        ghc[ind_index[k]] = v
+    for k, tab in acc.infprobs.items():
+        for m in range(M):
+            for side in range(2):
+                for mv, val in tab[m][side].items():
+                    ginf[ind_index[k], m, side, mv - 1] = val
+    return ghb, ghc, ginf
+
+
+@pytest.mark.parametrize("make,cfg", [(make_selfed_ped, CFG_SELF),
+                                      (make_relskew_ped, CFG_REL)])
+def test_ext_scan_matches_golden_doit(make, cfg):
+    ped = make()
+    doit = GoldenDoit(ped)
+    acc = doit.scan()
+    fb, res, hb, hc, inf, ind_index, NI = _merged_scan(ped)
+
+    # per-dous combined totals
+    for b, n in enumerate(ped.dous):
+        f = acc.factors[n]
+        allowed = [s for s in range(cfg.numshifts)
+                   if not (s & fb.shiftignore[b])]
+        fmax = max(f[s] for s in allowed)
+        tot = fmax + math.log(sum(math.exp(f[s] - fmax) for s in allowed))
+        np.testing.assert_allclose(float(res.total[b]), tot, rtol=1e-9)
+
+    ghb, ghc, ginf = _golden_arrays(ped, acc, ind_index, NI)
+    np.testing.assert_allclose(hb, ghb, atol=1e-10)
+    np.testing.assert_allclose(hc, ghc, atol=1e-10)
+    np.testing.assert_allclose(inf, ginf, atol=1e-10)
+
+
+@pytest.mark.parametrize("make,cfg", [(make_selfed_ped, CFG_SELF),
+                                      (make_relskew_ped, CFG_REL)])
+def test_ext_turn_weights_match_golden(make, cfg):
+    ped = make()
+    eng = GoldenDoit(ped).eng
+    fb, res, *_ = _merged_scan(ped)
+    M = ped.num_markers
+    tw = np.asarray(res.turn_weight)
+
+    for b, n in enumerate(ped.dous):
+        ind = ped.by_id(n)
+        shiftignore = int(fb.shiftignore[b])
+        fbs = {s: eng.fwbw(ind, 0, M - 1, s)
+               for s in range(cfg.numshifts)}
+        desc = max(ind.descendants, 1)
+        for q in (1, M // 2):
+            vals = []
+            for t in range(cfg.numturns):
+                raws = [eng.turn_probe(ind, fbs, 0, q, t, s)
+                        for s in range(cfg.numshifts)
+                        if not (s & shiftignore)]
+                mx = max(raws)
+                vals.append(mx + math.log(sum(math.exp(r - mx)
+                                              for r in raws)))
+            want = (np.array(vals) - vals[0]) * desc
+            np.testing.assert_allclose(tw[b, q], want, atol=1e-8)
+
+
+def test_driver_full_iteration_selfed_cohort():
+    """The full iteration loop (scan -> flips -> capped-GD updates ->
+    imputation) runs end-to-end on a selfed cohort and recovers masked
+    genotypes — the extended-space form of the reference's complete doit
+    under the SELFING build (settings.h:33-46)."""
+    from cnf2freq_tpu.utils.harness import run_experiment
+    from cnf2freq_tpu.utils.simulate import simulate_selfed
+
+    ped = simulate_selfed(n_lines=6, n_markers=16, generations=4,
+                          missing_rate=0.1, error_rate=0.01, seed=5)
+    out = run_experiment(ped, every=5, iterations=10)
+    assert out["total"] >= 5
+    # selfed lines are near-homozygous: recovery should be easy
+    # (measured: 22/24 called, 100% accurate at 10 iterations)
+    assert out["call_rate"] >= 0.8, out
+    assert out["accuracy"] >= 0.95, out
+
+
+def test_driver_full_iteration_relskewstates():
+    """Full iteration under the RELSKEWSTATES config (coherence bit in
+    the hidden state): runs, stays finite, keeps weights in bounds."""
+    import dataclasses
+
+    from cnf2freq_tpu.driver import Driver
+
+    ped = make_relskew_ped(M=10)
+    drv = Driver(ped)
+    drv.preprocess()
+    drv.iterate(early=True)
+    info = drv.iterate()
+    assert np.isfinite(info["hitnnn"])
+    for ind in ped.inds[1:]:
+        if ind.haploweight is not None:
+            assert ((ind.haploweight >= 0) & (ind.haploweight <= 1)).all()
+
+
+def test_ext_pair_posterior_normalised():
+    """The genotype-pair posterior sums to the focal's own infprob mass
+    share and normalises to a proper distribution per marker."""
+    ped = make_selfed_ped()
+    fb, res, *_ = _merged_scan(ped)
+    pair = np.asarray(res.pair)
+    tot = pair.sum(axis=(-1, -2))
+    assert (tot > 0).all()
+    p = pair / tot[..., None, None]
+    assert np.isfinite(p).all()
+    assert ((p >= 0) & (p <= 1)).all()
