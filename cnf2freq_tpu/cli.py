@@ -170,7 +170,6 @@ def main(argv=None) -> int:
     driver.parent_swap = args.parentswap
     if args.markerblock:
         driver.marker_block = args.markerblock
-        driver.adaptive_relhaplo = False   # whole-chromosome pass
     trace_f = None
     if args.trace:
         from .utils.tracing import Tracer

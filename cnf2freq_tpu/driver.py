@@ -580,7 +580,8 @@ class Driver:
             if self.marker_block is not None and Mc > self.marker_block:
                 winner = self._chromosome_blocked(
                     c, lo, hi, dous, haplobase, haplocount, infacc,
-                    ind_index, lut, early)
+                    ind_index, lut, early, coh_num=coh_num,
+                    coh_den=coh_den)
                 winners.append(winner)
                 if winner is not None:
                     apply_flips(ped, winner, c, haplobase, haplocount,
@@ -683,7 +684,13 @@ class Driver:
                                                   ratemat=rj))
                                 for slot in range(self.cfg.numslots)],
                                 axis=-1)
-                        scatter_coherence(sb, desc, lo, coh[:nb, :Mc],
+                        cohr = np.array(coh[:nb, :Mc])
+                        # the last marker has no right neighbor: keep
+                        # its interval coherence neutral (with marker
+                        # bucketing the raw column holds the real-to-
+                        # pad-marker value, an artifact)
+                        cohr[:, Mc - 1] = 0.5
+                        scatter_coherence(sb, desc, lo, cohr,
                                           coh_num, coh_den, ind_index)
                 if not early:
                     # native mode keeps the [nb, M, T] chunks ON DEVICE:
@@ -952,94 +959,169 @@ class Driver:
         return idx, mg, gains, S_top
 
     def _chromosome_blocked(self, c, lo, hi, dous, haplobase, haplocount,
-                            infacc, ind_index, lut, early
+                            infacc, ind_index, lut, early,
+                            coh_num=None, coh_den=None
                             ) -> Optional[FlipCandidate]:
         """One chromosome in marker-blocked (checkpointed) mode:
-        O(marker_block) device memory at any chromosome length
-        (ops/scan_v2.blocked_scan_chunk).  Adjacent-phase coherence
-        measurement is skipped (needs whole-chromosome sweep tensors);
-        relhaplo keeps its current values."""
+        O(marker_block) device memory at any chromosome length, plus
+        O(M/block) boundary carries per batch chunk
+        (ops/scan_v2.blocked_carries / blocked_block_pass).
+
+        Composes with batch chunking (blocks outer, chunks inner — so
+        the deferred relskew-halo scoring of a block sees every chunk's
+        accumulator contributions, exactly like the unblocked path),
+        and runs adjacent-phase coherence and map re-estimation per
+        block with the cross-boundary interval stitched from the
+        previous block's last forward column (the same one-block
+        pattern as the relskew halo)."""
+        import dataclasses
+
         import jax
         import jax.numpy as jnp
 
         from .hmm.transition import rate_matrix
         from .ops import scan_v2 as v2
         from .parallel.mesh import pad_markers
-        ped = self.ped
-        if self.remap_distances:
-            raise ValueError("remap_distances is not supported in "
-                             "marker-blocked mode")
+        ped, cfg = self.ped, self.cfg
         if self.flip_mode != "native" and not early:
             raise NotImplementedError("marker-blocked mode supports the "
                                       "native flip optimizer only")
         block = self.marker_block
         Mc = hi - lo
         Mp = -(-Mc // block) * block
-        if self._chunk_size(len(dous), block) < len(dous):
-            raise NotImplementedError(
-                "marker-blocked mode currently runs the cohort as one "
-                "batch chunk; raise hbm_budget_bytes or split the cohort")
+        nblk = Mp // block
         dists = np.pad(np.diff(ped.markerposes[lo:hi]).astype(self.dtype),
                        (0, Mp - Mc))
-        rm = np.pad(rate_matrix(self.cfg, self.params, Mc - 1, ped.actrec,
+        rm = np.pad(rate_matrix(cfg, self.params, Mc - 1, ped.actrec,
                                 lo, dtype=self.dtype),
                     ((0, Mp - Mc), (0, 0)))
-        with self.tracer.span("gather"):
-            fbatch = gather_family(ped, dous, lo, hi - 1,
-                                   dtype=self.dtype,
-                                   mask_mode=self.mask_mode,
-                                   parity=self.parity)
-            if Mp > Mc:
-                fbatch = pad_markers(fbatch, Mp)
         NI = haplobase.shape[0]
         key = ("blocked", self.dtype, NI, block)
         if key not in self._scan_cache:
             dt = jnp.float32 if np.dtype(self.dtype) == np.float32 \
                 else jnp.float64
             self._scan_cache[key] = v2.make_blocked_pieces(
-                self.cfg, self.params, dt, NI,
+                cfg, self.params, dt, NI,
                 interpret=jax.default_backend() == "cpu",
                 probe_rules=self.parity,
                 n_variants=self._n_variants())
         pieces = self._scan_cache[key]
-        rows = np.array([ind_index[n] for n in dous])
-        scored = []
-        pending = []   # blocks score one step deferred: the NEXT
-        # block's merged accumulators supply the right-halo column for
-        # an exact cross-boundary relskew term
+        with_coh = (self.adaptive_relhaplo and cfg.relskews and
+                    coh_num is not None)
+        S, NS = cfg.numtypes, cfg.numshifts
+        lutj = jnp.asarray(lut)
 
-        def score_block(off, w, hb_full, hc_full):
+        # batch chunks: block tensors plus the per-chunk boundary
+        # carries (~2*(S*NS+NS)*nblk floats per unit) must fit
+        m_eff = block + (2 * (S * NS + NS) * nblk) // (6 * 512) + 1
+        bs = self._chunk_size(len(dous), m_eff)
+        chunk_list = [dous[j:j + bs] for j in range(0, len(dous), bs)]
+
+        states = []
+        lam_pad = None
+        with self.tracer.span("carries"):
+            for chunk in chunk_list:
+                fbatch = gather_family(ped, chunk, lo, hi - 1,
+                                       dtype=self.dtype,
+                                       mask_mode=self.mask_mode,
+                                       parity=self.parity,
+                                       n_variants=self._n_variants())
+                if Mp > Mc:
+                    fbatch = pad_markers(fbatch, Mp)
+                _, total_r, lam_pad, fbound, bbound = v2.blocked_carries(
+                    fbatch, dists, rm, cfg, block, pieces)
+                states.append(dict(chunk=chunk, fb=fbatch,
+                                   total_r=total_r, fbound=fbound,
+                                   bbound=bbound, prev=None))
+
+        rows = np.array([ind_index[n] for n in dous])
+        remap_acc = (np.zeros((2, Mc - 1)), np.zeros(2, dtype=np.int64)) \
+            if self.remap_distances else None
+        coh_cols = [np.full((len(st["chunk"]), Mc, cfg.numslots), 0.5)
+                    for st in states] if with_coh else None
+        scored = []
+        pending = None   # (offset, wparts): blocks score one step
+        # deferred so the NEXT block's merged accumulators (all chunks)
+        # supply the right-halo column for the exact cross-boundary
+        # relskew term
+
+        def score_block(off, wparts):
             span = min(block, Mc - off)
             if span <= 0:
-                return                     # wholly padded block
+                return
             halo = off + span < Mc
             ext = span + (1 if halo else 0)
             scored.append(self._score_turns(
-                dous, lo, hi, (w[:, :span],), None, None, ind_index, c,
-                marker_offset=off, m_span=span, halo=halo,
-                skew_rows=(hb_full[rows][:, off:off + ext],
-                           hc_full[rows][:, off:off + ext])))
+                dous, lo, hi, tuple(w[:, :span] for w in wparts),
+                None, None, ind_index, c, marker_offset=off, m_span=span,
+                halo=halo,
+                skew_rows=(haplobase[rows][:, lo + off:lo + off + ext],
+                           haplocount[rows][:, lo + off:lo + off + ext])))
 
-        def consumer(off, w, hb_full, hc_full):
-            if early:
-                return
-            pending.append((off, w))
-            if len(pending) >= 2:
-                poff, pw = pending.pop(0)
-                score_block(poff, pw, hb_full, hc_full)
+        def to_std(x, B, K):
+            return jnp.transpose(x[:, :, :B], (2, 0, 1)).reshape(
+                B, K, NS, S)
 
-        with self.tracer.span("scan"):
-            total, pair, hb, hc, inf = v2.blocked_scan_chunk(
-                fbatch, dists, rm, jnp.asarray(lut), self.cfg,
-                self.params, block, pieces, turn_consumer=consumer)
-        if pending and not early:
-            poff, pw = pending.pop(0)
-            score_block(poff, pw, hb, hc)
-        with self.tracer.span("scatter"):
-            self._store_pair_tables(dous, lo, pair[:, :Mc])
-            haplobase[:, lo:hi] += hb[:, :Mc]
-            haplocount[:, lo:hi] += hc[:, :Mc]
-            infacc[:, lo:hi] += inf[:, :Mc]
+        def to_std_f(x, B):
+            return jnp.transpose(x[:, :, :B], (2, 0, 1))
+
+        for i in range(nblk):
+            off = i * block
+            span = min(block, Mc - off)
+            wparts = []
+            if span <= 0:
+                continue          # wholly padded trailing block
+            for ci, st in enumerate(states):
+                chunk = st["chunk"]
+                B = len(chunk)
+                with self.tracer.span("block"):
+                    fb_blk, _, fb2, pair_i, hb_i, hc_i, inf_i, w = \
+                        v2.blocked_block_pass(
+                            st["fb"], i, block, lam_pad, st["fbound"][i],
+                            st["bbound"][i], st["total_r"], lutj, cfg,
+                            pieces, with_turn=not early)
+                sl = slice(lo + off, lo + off + span)
+                with self.tracer.span("scatter"):
+                    self._store_pair_tables(
+                        chunk, lo + off, np.asarray(pair_i)[:, :span])
+                    haplobase[:, sl] += np.asarray(hb_i)[:, :span]
+                    haplocount[:, sl] += np.asarray(hc_i)[:, :span]
+                    infacc[:, sl] += np.asarray(inf_i)[:, :span]
+                if not early:
+                    wparts.append(w)
+                if with_coh or self.remap_distances:
+                    fw_pre = to_std(fb2.fw_pre, B, block)
+                    bw = to_std(fb2.bw, B, block)
+                    fw_pre_f = to_std_f(fb2.fw_pre_f, B)
+                    bw_f = to_std_f(fb2.bw_f, B)
+                    d_blk = jnp.asarray(dists[off:off + block - 1])
+                    rm_blk = jnp.asarray(rm[off:off + block - 1])
+                    self._blocked_followups(
+                        st, fb_blk, fw_pre, bw, fw_pre_f, bw_f, d_blk,
+                        rm_blk, i, off, span, block, Mc, dists, rm,
+                        coh_cols[ci] if with_coh else None, remap_acc,
+                        lam_pad)
+                    # keep this block's last forward column for the
+                    # next block's boundary stitch
+                    st["prev"] = (fw_pre[:, -1], fw_pre_f[:, -1])
+            if not early and wparts:
+                if pending is not None:
+                    score_block(*pending)
+                pending = (off, wparts)
+        if pending is not None and not early:
+            score_block(*pending)
+
+        if with_coh:
+            from .updates.scatter import scatter_coherence
+            for st, coh in zip(states, coh_cols):
+                fbatch = st["fb"]
+                B = len(st["chunk"])
+                scatter_coherence(fbatch.slot_ind[:B],
+                                  fbatch.descendants[:B].astype(
+                                      np.float64),
+                                  lo, coh, coh_num, coh_den, ind_index)
+        if self.remap_distances:
+            self._apply_recomb(lo, hi, remap_acc)
         if early or not scored:
             return None
         # merge per-block top-k hot markers; keep the global top
@@ -1051,6 +1133,97 @@ class Driver:
         merged = (idx[order], mg[order], gains[:, order], S_top[:, order])
         with self.tracer.span("flips"):
             return self._solve_scored(dous, lo, hi, merged, c)
+
+    def _blocked_followups(self, st, fb_blk, fw_pre, bw, fw_pre_f, bw_f,
+                           d_blk, rm_blk, i, off, span, block, Mc, dists,
+                           rm, coh, remap_acc, lam_pad):
+        """Per-(chunk, block) coherence + recombination expectations:
+        intra-block intervals from the block's own sweep tensors, the
+        cross-boundary interval (off-1, off) stitched from the previous
+        block's last forward column against this block's first backward
+        column."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from .ops import scan_v2 as v2
+        cfg = self.cfg
+        B = fw_pre.shape[0]
+        chunk = st["chunk"]
+        with_coh = coh is not None
+
+        def run_coh(fbx, d, fp, bwx, fpf, bwf, rmx, K):
+            _, coh_fn = self._jitted_scan()
+            cols = [np.asarray(coh_fn(fbx, d, fp, bwx, fpf, bwf, slot,
+                                      ratemat=rmx))
+                    for slot in range(cfg.numslots)]
+            return np.stack(cols, axis=-1)[:, :K]   # drop 0.5 pad col
+
+        def run_recomb(fbx, d, fp, bwx, fpf, bwf, rmx):
+            from .engine import make_jitted_recomb
+            key = ("recomb", self.dtype)
+            if key not in self._scan_cache:
+                self._scan_cache[key] = make_jitted_recomb(cfg,
+                                                           self.params)
+            return np.asarray(self._scan_cache[key](
+                fbx, d, fp, bwx, fpf, bwf, ratemat=rmx))
+
+        # intra-block intervals: (off + j, off + j + 1), j < span - 1
+        fbx = fb_blk
+        n_real = max(span - 1, 0)
+        if n_real > 0:
+            if with_coh:
+                cblk = run_coh(fbx, d_blk, fw_pre, bw, fw_pre_f, bw_f,
+                               rm_blk, block - 1)
+                coh[:, off:off + n_real] = cblk[:, :n_real]
+            if self.remap_distances:
+                p = run_recomb(fbx, d_blk, fw_pre, bw, fw_pre_f, bw_f,
+                               rm_blk)[:, :n_real]
+                sexes = np.asarray(cfg.typesexes)
+                sums, counts = remap_acc
+                for sex in range(2):
+                    sel = sexes == sex
+                    sums[sex][off:off + n_real] += \
+                        p[:, :, sel].sum(axis=(0, 2))
+
+        # boundary interval (off - 1, off) from the previous block's
+        # last forward column
+        if i > 0 and st["prev"] is not None and off - 1 < Mc - 1:
+            pfp, pff = st["prev"]
+            zero = jnp.zeros_like(pfp)
+            fp2 = jnp.stack([pfp, zero], axis=1)
+            bw2 = jnp.stack([jnp.ones_like(pfp), bw[:, 0]], axis=1)
+            fpf2 = jnp.stack([pff, jnp.zeros_like(pff)], axis=1)
+            bwf2 = jnp.stack([jnp.zeros_like(pff), bw_f[:, 0]], axis=1)
+            mb = slice(i * block - 1, i * block + 1)
+            relh2 = st["fb"].relh
+            if relh2 is not None:
+                relh2 = relh2[:, mb]
+            fb2cols = dataclasses.replace(
+                st["fb"], md=st["fb"].md[:, :, mb],
+                ms=st["fb"].ms[:, :, mb], hw=st["fb"].hw[:, :, mb],
+                relh=relh2).map(jnp.asarray)
+            d2 = jnp.asarray(dists[i * block - 1:i * block])
+            rm2 = jnp.asarray(rm[i * block - 1:i * block])
+            if with_coh:
+                cbnd = run_coh(fb2cols, d2, fp2, bw2, fpf2, bwf2, rm2, 1)
+                coh[:, off - 1] = cbnd[:, 0]
+            if self.remap_distances:
+                p = run_recomb(fb2cols, d2, fp2, bw2, fpf2, bwf2,
+                               rm2)[:, 0]
+                sexes = np.asarray(cfg.typesexes)
+                sums, counts = remap_acc
+                for sex in range(2):
+                    sel = sexes == sex
+                    sums[sex][off - 1] += p[:, sel].sum()
+        # per-interval divisor: every unit contributes once per real
+        # interval and sex-matched bit; fold into counts once per chunk
+        # at the first block
+        if i == 0 and self.remap_distances:
+            sexes = np.asarray(cfg.typesexes)
+            sums, counts = remap_acc
+            for sex in range(2):
+                counts[sex] += B * int((sexes == sex).sum())
 
     def _solve_scored(self, dous, lo, hi, scored, chrom
                       ) -> Optional[FlipCandidate]:

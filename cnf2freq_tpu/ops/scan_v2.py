@@ -402,45 +402,46 @@ def make_blocked_pieces(cfg: ModelConfig, params: RuntimeParams, dtype,
                 turn=jax.jit(turn_fn, static_argnames=("B",)))
 
 
-def blocked_scan_chunk(fb_np, dists, ratemat, lut, cfg: ModelConfig,
-                       params: RuntimeParams, block: int, pieces,
-                       turn_consumer=None):
-    """O(block)-device-memory scan + merge over one batch chunk.
+def _blk_interp():
+    return jax.default_backend() == "cpu"
 
-    fb_np: host FamilyBatch (marker axis a multiple of ``block``);
-    pieces: make_blocked_pieces output.  Three passes per chromosome:
-    forward boundary carries, backward boundary carries, then per-block
-    recompute + statistics; turn_consumer(offset, w_dev) is called per
-    block so turn weights never accumulate across blocks.  Returns
-    (total [B], pair [B, M, 2, 2] np, hb, hc [NI, M] np,
-    inf [NI, M, 2, 2] np)."""
+
+def blocked_slice(fb_np, i: int, block: int):
+    """Host FamilyBatch restricted to block i's markers."""
     import dataclasses
+    sl = slice(i * block, (i + 1) * block)
+    relh = fb_np.relh
+    if relh is not None:
+        relh = relh[:, sl]
+    return dataclasses.replace(fb_np, md=fb_np.md[:, :, sl],
+                               ms=fb_np.ms[:, :, sl],
+                               hw=fb_np.hw[:, :, sl], relh=relh)
 
+
+def _blk_inputs(fb_np, i, block, cfg, dt, pieces):
+    fb_blk = blocked_slice(fb_np, i, block).map(jnp.asarray)
+    st = pieces["prep"](fb_blk)
+    e = emission_tiles(st, block, cfg, dtype=dt,
+                       interpret=_blk_interp()).reshape(block, 512, -1)
+    return fb_blk, st, e
+
+
+def blocked_carries(fb_np, dists, ratemat, cfg: ModelConfig, block: int,
+                    pieces):
+    """Phases A/B of the marker-blocked scan for one batch chunk:
+    carry-only forward and backward sweeps storing only block-boundary
+    carries (O(M/block) of them).  Returns
+    (total_np [B], total_r [R] device, lam_pad [M, S] device,
+    fbound, bbound)."""
     B, _, M, _ = fb_np.md.shape
     assert M % block == 0, (M, block)
     nblk = M // block
     S, NS = cfg.numtypes, cfg.numshifts
 
-    def _interp():
-        return jax.default_backend() == "cpu"
-
-    def fb_slice(i):
-        sl = slice(i * block, (i + 1) * block)
-        return dataclasses.replace(fb_np, md=fb_np.md[:, :, sl],
-                                   ms=fb_np.ms[:, :, sl],
-                                   hw=fb_np.hw[:, :, sl])
-
     lam = pieces["lam"](jnp.asarray(dists), None if ratemat is None
                         else jnp.asarray(ratemat))          # [M-1, S]
     dt = lam.dtype
     lam_pad = jnp.concatenate([lam, jnp.ones((1, S), dtype=dt)], 0)
-
-    def block_inputs(i):
-        fb_blk = fb_slice(i).map(jnp.asarray)
-        st = pieces["prep"](fb_blk)
-        e = emission_tiles(st, block, cfg, dtype=dt,
-                           interpret=_interp()).reshape(block, 512, -1)
-        return fb_blk, st, e
 
     R = (-(-B // _TN)) * _TN
     p = jnp.full((NS * S, R), cfg.evengen, dtype=dt)
@@ -448,11 +449,11 @@ def blocked_scan_chunk(fb_np, dists, ratemat, lut, cfg: ModelConfig,
     fbound = []
     for i in range(nblk):
         fbound.append((p, f))
-        _, _, e = block_inputs(i)
+        _, _, e = _blk_inputs(fb_np, i, block, cfg, dt, pieces)
         p, f = pieces["carry_f"](e, lam_pad[i * block:(i + 1) * block],
                                  p, f)
 
-    st0 = pieces["prep"](fb_slice(0).map(jnp.asarray))
+    st0 = pieces["prep"](blocked_slice(fb_np, 0, block).map(jnp.asarray))
     total_r = pieces["total"](f, st0.sh)
 
     bT = jnp.ones((NS * S, R), dtype=dt)
@@ -462,20 +463,56 @@ def blocked_scan_chunk(fb_np, dists, ratemat, lut, cfg: ModelConfig,
         bbound[i] = (bT, bfT)
         below = lam_pad[i * block - 1] if i > 0 else \
             jnp.ones(S, dtype=dt)
-        _, _, e = block_inputs(i)
+        _, _, e = _blk_inputs(fb_np, i, block, cfg, dt, pieces)
         bT, bfT = pieces["carry_b"](e, lam_pad[i * block:(i + 1) * block],
                                     below, *bbound[i])
+    return np.asarray(total_r)[:B], total_r, lam_pad, fbound, bbound
 
-    total_np = np.asarray(total_r)[:B]
+
+def blocked_block_pass(fb_np, i: int, block: int, lam_pad, fbound_i,
+                       bbound_i, total_r, lut, cfg: ModelConfig, pieces,
+                       with_turn: bool = True):
+    """Phase C for one (batch chunk, marker block): recompute the
+    block's sweep tensors from its boundary carries and run the fused
+    statistics (+ turn weights).  Returns
+    (fb_blk, st, fb2, pair_i, hb_i, hc_i, inf_i, w-or-None) — pair/hb/
+    hc/inf as device arrays for the block's marker span."""
+    B = fb_np.md.shape[0]
+    dt = lam_pad.dtype
+    fb_blk, st, e = _blk_inputs(fb_np, i, block, cfg, dt, pieces)
+    fb2 = pieces["blockfb"](e, lam_pad[i * block:(i + 1) * block],
+                            *fbound_i, *bbound_i)
+    pair_i, hb_i, hc_i, inf_i = pieces["block_stats"](
+        st, fb2, total_r, lut, fb_blk, K=block, B=B)
+    w = None
+    if with_turn:
+        w = pieces["turn"](fb2, st.sh, fb_blk.descendants.astype(dt), B=B)
+    return fb_blk, st, fb2, pair_i, hb_i, hc_i, inf_i, w
+
+
+def blocked_scan_chunk(fb_np, dists, ratemat, lut, cfg: ModelConfig,
+                       params: RuntimeParams, block: int, pieces,
+                       turn_consumer=None):
+    """O(block)-device-memory scan + merge over one batch chunk.
+
+    fb_np: host FamilyBatch (marker axis a multiple of ``block``);
+    pieces: make_blocked_pieces output.  Three passes per chromosome
+    (blocked_carries + per-block blocked_block_pass);
+    turn_consumer(offset, w_dev) is called per block so turn weights
+    never accumulate across blocks.  Returns
+    (total [B], pair [B, M, 2, 2] np, hb, hc [NI, M] np,
+    inf [NI, M, 2, 2] np)."""
+    B, _, M, _ = fb_np.md.shape
+    nblk = M // block
+    total_np, total_r, lam_pad, fbound, bbound = blocked_carries(
+        fb_np, dists, ratemat, cfg, block, pieces)
+
     pair = np.zeros((B, M, 2, 2))
-    NIp1 = None
     hb = hc = inf = None
     for i in range(nblk):
-        fb_blk, st, e = block_inputs(i)
-        fb2 = pieces["blockfb"](e, lam_pad[i * block:(i + 1) * block],
-                                *fbound[i], *bbound[i])
-        pair_i, hb_i, hc_i, inf_i = pieces["block_stats"](
-            st, fb2, total_r, lut, fb_blk, K=block, B=B)
+        _, _, _, pair_i, hb_i, hc_i, inf_i, w = blocked_block_pass(
+            fb_np, i, block, lam_pad, fbound[i], bbound[i], total_r, lut,
+            cfg, pieces, with_turn=turn_consumer is not None)
         sl = slice(i * block, (i + 1) * block)
         pair[:, sl] = np.asarray(pair_i)
         if hb is None:
@@ -487,8 +524,6 @@ def blocked_scan_chunk(fb_np, dists, ratemat, lut, cfg: ModelConfig,
         hc[:, sl] = np.asarray(hc_i)
         inf[:, sl] = np.asarray(inf_i)
         if turn_consumer is not None:
-            w = pieces["turn"](fb2, st.sh,
-                               fb_blk.descendants.astype(dt), B=B)
             # consumer sees the block's turn weights plus the full
             # in-progress accumulators (filled through this block):
             # enough for exact relskew clause adjustment of the

@@ -141,7 +141,8 @@ def test_blocked_fb_matches_full():
 def test_driver_marker_blocked_matches_unblocked():
     """A full driver iteration in marker-blocked mode equals the
     standard path on every parameter (coherence measurement disabled on
-    both — blocked mode skips it by design)."""
+    both to exercise the plain path; coherence parity has its own
+    test)."""
     from cnf2freq_tpu.driver import Driver
 
     peds = [simulate_f2(n_f2=5, n_markers=16, missing_rate=0.2,
@@ -169,3 +170,71 @@ def test_driver_marker_blocked_matches_unblocked():
         np.testing.assert_allclose(drvs[0].pair_tables[n],
                                    drvs[1].pair_tables[n],
                                    rtol=1e-8, atol=1e-11)
+
+
+def test_driver_blocked_chunked_matches_unblocked():
+    """Blocked mode composed with batch chunking: tiny batch_size forces
+    several chunks per block, and the deferred relskew-halo scoring
+    still sees every chunk's accumulator rows — one full iteration
+    equals the unchunked, unblocked path."""
+    from cnf2freq_tpu.driver import Driver
+
+    peds = [simulate_f2(n_f2=7, n_markers=16, missing_rate=0.2,
+                        error_rate=0.02, seed=23) for _ in range(2)]
+    drvs = [Driver(peds[0]), Driver(peds[1])]
+    drvs[0].marker_block = 4
+    drvs[0].batch_size = 3          # 7 dous -> 3 chunks
+    for d in drvs:
+        d.adaptive_relhaplo = False
+        d.preprocess()
+        d.iterate(early=False)
+    for a, b in zip(peds[0].inds[1:], peds[1].inds[1:]):
+        np.testing.assert_allclose(a.haploweight, b.haploweight,
+                                   rtol=1e-8, atol=1e-11, err_msg=a.name)
+    for n in peds[0].dous:
+        np.testing.assert_allclose(drvs[0].pair_tables[n],
+                                   drvs[1].pair_tables[n],
+                                   rtol=1e-8, atol=1e-11)
+
+
+def test_driver_blocked_coherence_matches_unblocked():
+    """Adjacent-phase coherence (adaptive relhaplo) per block, with the
+    cross-boundary interval stitched from the previous block's last
+    forward column: relhaplo after one iteration equals the
+    whole-chromosome measurement exactly."""
+    from cnf2freq_tpu.driver import Driver
+
+    peds = [simulate_f2(n_f2=5, n_markers=16, missing_rate=0.2,
+                        error_rate=0.02, seed=29) for _ in range(2)]
+    drvs = [Driver(peds[0]), Driver(peds[1])]
+    drvs[0].marker_block = 4
+    for d in drvs:
+        assert d.adaptive_relhaplo
+        d.preprocess()
+        d.iterate(early=False)
+    for a, b in zip(peds[0].inds[1:], peds[1].inds[1:]):
+        if a.relhaplo is not None:
+            np.testing.assert_allclose(a.relhaplo, b.relhaplo,
+                                       rtol=1e-7, atol=1e-9,
+                                       err_msg=a.name)
+        np.testing.assert_allclose(a.haploweight, b.haploweight,
+                                   rtol=1e-7, atol=1e-10, err_msg=a.name)
+
+
+def test_driver_blocked_remap_matches_unblocked():
+    """Genetic-map re-estimation per block (boundary interval stitched):
+    the re-estimated actrec after one iteration equals the
+    whole-chromosome EM update."""
+    from cnf2freq_tpu.driver import Driver
+
+    peds = [simulate_f2(n_f2=5, n_markers=16, missing_rate=0.2,
+                        error_rate=0.02, seed=31) for _ in range(2)]
+    drvs = [Driver(peds[0]), Driver(peds[1])]
+    drvs[0].marker_block = 4
+    for d in drvs:
+        d.adaptive_relhaplo = False
+        d.remap_distances = True
+        d.preprocess()
+        d.iterate(early=False)
+    np.testing.assert_allclose(peds[0].actrec, peds[1].actrec,
+                               rtol=1e-7, atol=1e-10)
