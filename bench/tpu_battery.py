@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Hardware kernel-parity battery: run the Mosaic-compiled kernels on the
+real TPU against f64 references on small shapes, plus full-driver,
+marker-blocked and extended-state smoke runs.
+
+One command, JSON-line output per check, exit 1 on any failure:
+
+    python bench/tpu_battery.py            # on the TPU host
+
+Covers the round-1 verdict gap "TPU-hardware correctness is not in CI":
+the pytest suite pins everything in interpret mode on CPU; this battery
+is the per-round hardware lane (results recorded in BATTERY.json).
+
+Two stages: the f64 reference values are computed by a CPU subprocess
+(f64 XLA, no MXU bf16 rounding, no TPU-tunnel claim) and written to a
+scratch .npz; the main process then runs the f32 Mosaic kernels on the
+chip and compares.  Enabling x64 in the TPU process itself would poison
+the i32/f32 kernels with i64 operands Mosaic cannot legalize.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = []
+B, M = 64, 32
+SEED = 11
+
+
+def check(name, dev, tol, extra=None):
+    ok = bool(np.isfinite(dev)) and dev <= tol
+    rec = {"check": name, "max_dev": float(dev), "tol": tol, "ok": ok}
+    if extra:
+        rec.update(extra)
+    RESULTS.append(rec)
+    print(json.dumps(rec))
+    return ok
+
+
+def rel_dev(a, b, floor=1e-30):
+    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    return float(np.max(np.abs(a - b) / np.maximum(
+        np.maximum(np.abs(a), np.abs(b)), floor)))
+
+
+def _cohort():
+    from cnf2freq_tpu.hmm.family import gather_family
+    from cnf2freq_tpu.utils import simulate_f2
+    ped = simulate_f2(n_f2=B, n_markers=M, missing_rate=0.2,
+                      error_rate=0.02, seed=SEED)
+    for ind in ped.inds[1:]:
+        ped.fixtrees(ind.n)
+    ped.count_descendants()
+    dists = np.diff(ped.markerposes)
+    return ped, dists, gather_family
+
+
+def reference_stage(outpath):
+    """CPU f64 reference values (run with JAX_PLATFORMS=cpu)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from cnf2freq_tpu.config import ModelConfig, RuntimeParams
+    from cnf2freq_tpu.engine import chromosome_scan
+    from cnf2freq_tpu.ops import scan_v2 as v2
+
+    cfg, params = ModelConfig(), RuntimeParams()
+    ped, dists, gather_family = _cohort()
+    fb64 = gather_family(ped, ped.dous, 0, M - 1, dtype=np.float64)
+    fbj = fb64.map(jnp.asarray)
+    dj = jnp.asarray(dists)
+
+    st64 = v2.prep_slots(fbj, jnp.float64)
+    R = st64.nb * 1024
+    e64 = v2.emission_tiles(st64, M, cfg, dtype=jnp.float64,
+                            interpret=True).reshape(M, 512, R)
+    fbref = v2.fb_scan_v2(e64, dj, cfg, params)
+    res = chromosome_scan(fbj, dj, cfg, params, use_stats_pallas=False,
+                          use_scan_v2=False)
+    np.savez(outpath,
+             fw_post=np.asarray(fbref.fw_post),
+             fw_post_f=np.asarray(fbref.fw_post_f),
+             total=np.asarray(res.total),
+             pair=np.asarray(res.pair),
+             inf_accum=np.asarray(res.inf_accum),
+             haplo_b12=np.asarray(res.haplo_b12))
+    print(json.dumps({"stage": "reference", "ok": True}))
+
+
+def main():
+    with tempfile.TemporaryDirectory() as td:
+        refpath = os.path.join(td, "ref.npz")
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PALLAS_AXON_POOL_IPS="")
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--ref", refpath], env=env, check=True,
+                       timeout=1200)
+        ref = dict(np.load(refpath))
+
+    import jax
+    import jax.numpy as jnp
+
+    from cnf2freq_tpu.config import ModelConfig, RuntimeParams
+    from cnf2freq_tpu.ops import scan_v2 as v2
+    from cnf2freq_tpu.utils import simulate_f2
+
+    backend = jax.default_backend()
+    interp = backend == "cpu"
+    print(json.dumps({"battery": "start", "backend": backend,
+                      "device": str(jax.devices()[0])}))
+
+    cfg, params = ModelConfig(), RuntimeParams()
+    ped, dists, gather_family = _cohort()
+    fb = gather_family(ped, ped.dous, 0, M - 1, dtype=np.float32)
+    fbj = fb.map(jnp.asarray)
+    dj = jnp.asarray(dists.astype(np.float32))
+
+    # 1. emission tiles: Mosaic kernel vs interpret (same f32 math)
+    st = v2.prep_slots(fbj, jnp.float32)
+    e_hw = np.asarray(v2.emission_tiles(st, M, cfg, dtype=jnp.float32,
+                                        interpret=False))
+    e_in = np.asarray(v2.emission_tiles(st, M, cfg, dtype=jnp.float32,
+                                        interpret=True))
+    check("emission_tiles mosaic-vs-interpret", rel_dev(e_hw, e_in), 2e-6)
+
+    # 2. v2 fused fb sweeps (Pallas f32 FWHT) vs the f64 CPU reference —
+    # the f64 path avoids the MXU bf16 rounding the f32 XLA einsum
+    # transition pays on TPU, so it is the accuracy yardstick
+    R = st.nb * 1024
+    eR = jnp.asarray(e_in.reshape(M, 512, R))
+    fb_k = v2.fb_sweeps_v2_pallas(eR, dj, cfg, params, interpret=interp)
+    dev = rel_dev(fb_k.fw_post, ref["fw_post"], floor=1e-4)
+    devf = float(np.max(np.abs(np.asarray(fb_k.fw_post_f,
+                                          dtype=np.float64)
+                               - ref["fw_post_f"])))
+    check("fb_sweeps_v2 pallas-f32 vs cpu-f64", max(dev, devf), 1e-3)
+
+    # 3. fused turn-weight kernel vs XLA chain (same f32 fb inputs)
+    fb_x = v2.fb_scan_v2(eR, dj, cfg, params)
+    tw_k = np.asarray(v2.turn_weights_v2_pallas(
+        fb_x, st.sh, fbj.descendants.astype(jnp.float32), cfg, B))
+    tw_x = np.asarray(v2.turn_weights_v2(
+        fb_x, st.sh, fbj.descendants.astype(jnp.float32), cfg, B))
+    finite = (tw_x > -1e14) & (tw_k > -1e14)
+    dev = float(np.max(np.abs(tw_k[finite] - tw_x[finite]) /
+                       np.maximum(np.abs(tw_x[finite]), 1.0)))
+    check("turn_weights pallas-vs-xla", dev, 5e-3,
+          {"finite_match": bool(np.array_equal(tw_x > -1e14,
+                                               tw_k > -1e14))})
+
+    # 4. fused stats kernel on the PRODUCTION sweeps (Pallas f32) vs the
+    # f64 reference — this is the path chromosome_scan_v2 actually runs
+    total_k = v2.combined_loglik_v2(fb_k, st.sh)
+    b12_k, acc_k, pair_k = v2.stats_from_v2(
+        st, fb_k, total_k, M, B, cfg, jnp.float32, interpret=interp)
+    dev = max(rel_dev(pair_k, ref["pair"], floor=1e-3),
+              rel_dev(acc_k, ref["inf_accum"], floor=1e-2),
+              rel_dev(b12_k, ref["haplo_b12"], floor=1e-2))
+    check("stats pallas-f32 vs cpu-f64", dev, 1e-2)
+
+    # 5. totals: production (Pallas) pipeline vs f64 reference
+    check("total loglik pallas-f32 vs cpu-f64",
+          float(np.max(np.abs(np.asarray(total_k, dtype=np.float64)[:B]
+                              - ref["total"]))), 1e-2)
+    # informational: the XLA f32 fallback rounds the transition einsums
+    # through bf16 on the MXU — record its drift (this is WHY the fused
+    # kernel is the default: full-f32 FWHT transitions)
+    total_x = v2.combined_loglik_v2(fb_x, st.sh)
+    check("total loglik xla-f32 bf16 drift (informational)",
+          float(np.max(np.abs(np.asarray(total_x, dtype=np.float64)[:B]
+                              - ref["total"]))), 0.5)
+
+    # 6. marker-blocked driver on hardware vs whole-chromosome
+    from cnf2freq_tpu.driver import Driver
+    peds = [simulate_f2(n_f2=16, n_markers=24, missing_rate=0.2,
+                        error_rate=0.02, seed=13) for _ in range(2)]
+    drvs = [Driver(peds[0], dtype=np.float32),
+            Driver(peds[1], dtype=np.float32)]
+    drvs[0].marker_block = 8
+    drvs[0].marker_bucket = 8
+    drvs[1].marker_bucket = 8
+    for d in drvs:
+        d.preprocess()
+        d.iterate(early=False)
+    dev = max(rel_dev(a.haploweight, b.haploweight, floor=1e-3)
+              for a, b in zip(peds[0].inds[1:], peds[1].inds[1:]))
+    check("driver blocked-vs-whole (hw f32)", dev, 5e-3)
+    devr = max(rel_dev(a.relhaplo, b.relhaplo, floor=1e-2)
+               for a, b in zip(peds[0].inds[1:], peds[1].inds[1:])
+               if a.relhaplo is not None)
+    # f32 boundary-stitch reassociation: ~6e-3 measured on v5e
+    check("blocked coherence-vs-whole (hw f32)", devr, 2e-2)
+
+    # 7. extended-state full iteration smoke on hardware (selfing)
+    from cnf2freq_tpu.utils.simulate import simulate_selfed
+    sped = simulate_selfed(n_lines=4, n_markers=12, generations=4,
+                           seed=3)
+    sdrv = Driver(sped, dtype=np.float32)
+    sdrv.preprocess()
+    info = sdrv.iterate(early=True)
+    check("selfing iterate finite (hw f32)",
+          0.0 if np.isfinite(info["hitnnn"]) else np.inf, 0.5)
+
+    # 8. steady-state driver iterate timing (compiled shapes)
+    t0 = time.perf_counter()
+    drvs[1].iterate(early=False)
+    dt = time.perf_counter() - t0
+    RESULTS.append({"check": "driver iterate timing", "ok": True,
+                    "seconds": round(dt, 4)})
+    print(json.dumps(RESULTS[-1]))
+
+    fails = [r for r in RESULTS if not r.get("ok", True)]
+    print(json.dumps({"battery": "done", "checks": len(RESULTS),
+                      "failed": len(fails), "backend": backend}))
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BATTERY.json"), "w") as f:
+        json.dump({"backend": backend, "results": RESULTS}, f, indent=1)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--ref":
+        reference_stage(sys.argv[2])
+        sys.exit(0)
+    sys.exit(main())

@@ -61,10 +61,10 @@ class Driver:
         # coherence measurement, map re-estimation, blocked scans,
         # line-origin reporting) stay gated.
         self.ext = self.cfg.selfing or self.cfg.relskewstates
-        if self.ext and parity:
+        if parity and (self.ext or self.cfg.numgen != 3):
             raise NotImplementedError(
                 "parity mode emulates the reference's default build "
-                "(standard state space)")
+                "(numgen==3, standard state space)")
         self.params = params or RuntimeParams()
         self.state = DriverState(scalefactor=self.params.scalefactor)
         self.dtype = dtype
@@ -86,9 +86,11 @@ class Driver:
         # Feed the relskew machinery with measured adjacent-phase
         # coherence each iteration (the statistic relhaplo is designed to
         # carry; the reference's PlantImpute path leaves it inert at 0.5).
-        # Dramatically speeds phase convergence; disabled in parity mode
-        # and on the extended state spaces (no coherence pass there).
-        self.adaptive_relhaplo = not parity and not self.ext
+        # Dramatically speeds phase convergence; disabled in parity
+        # mode, on the extended state spaces and on the numgen==2
+        # engine (no coherence pass there yet).
+        self.adaptive_relhaplo = (not parity and not self.ext
+                                  and self.cfg.numgen == 3)
         # Genetic-map re-estimation (the reference's default-off
         # DOREMAPDISTANCES, redesigned as a direct posterior EM update of
         # per-sex per-interval rates).
@@ -280,7 +282,13 @@ class Driver:
 
         @jax.jit
         def run(fb):
-            blocks = build_blocks(fb, self.cfg, ci=True,
+            cfg = self.cfg
+            if cfg.numgen == 2:
+                # the block builders evaluate the embedded 7-slot view
+                from .engine_ng2 import embed7, ng3_equiv
+                fb = embed7(fb)
+                cfg = ng3_equiv(cfg)
+            blocks = build_blocks(fb, cfg, ci=True,
                                   dtype=fb.ms.dtype)
             pb0 = blocks.pb[0].sum(axis=-2)   # [B, M, r, fp, sk]
             pb1 = blocks.pb[1].sum(axis=-2)
@@ -474,6 +482,11 @@ class Driver:
 
         @jax.jit
         def run(fb):
+            cfg = self.cfg
+            if cfg.numgen == 2:
+                from .engine_ng2 import embed7, ng3_equiv
+                fb = embed7(fb)
+                cfg = ng3_equiv(cfg)
             V = [(((fb.flag2ignore[:, None] >> (1 + 3 * k)) & 7)
                   & np.arange(8)[None, :] == 0).astype(fb.ms.dtype)
                  for k in range(2)]
@@ -482,7 +495,7 @@ class Driver:
                 terms = []
                 for a in range(2):
                     blocks = build_blocks(
-                        fb, self.cfg, ci=True, zp=ZP_NO_EQUIVALENCE,
+                        fb, cfg, ci=True, zp=ZP_NO_EQUIVALENCE,
                         inval=fb.md[:, 0, :, a], insv=fb.ms[:, 0, :, a],
                         side=side, dtype=fb.ms.dtype)
                     p0 = jnp.einsum("zmrfps,zp->zmrs", blocks.pb[0], V[0])
@@ -544,11 +557,15 @@ class Driver:
     # ------------------------------------------------------------------
     def iterate(self, early: bool = False):
         import jax.numpy as jnp
-        if self.ext and (self.remap_distances or
-                         self.marker_block is not None):
+        if self.ext and self.remap_distances:
             raise NotImplementedError(
-                "map re-estimation and marker-blocked scans support the "
-                "standard state space only")
+                "map re-estimation supports the standard state space "
+                "only")
+        if self.marker_block is not None and (self.ext or
+                                              self.cfg.numgen != 3):
+            raise NotImplementedError(
+                "marker-blocked scans run the 64-state v2 pipeline "
+                "(standard numgen==3 space) only")
         ped, cfg, params = self.ped, self.cfg, self.params
         st = self.state
         st.iter += 1
@@ -857,7 +874,8 @@ class Driver:
         for b, n in enumerate(dous):
             members, exists = family_variables(ped, n)
             f2i = int(ped.missing_flag2_mask(n))
-            varbits = [bit for bit in range(7) if exists[bit]]
+            varbits = [bit for bit in range(len(exists))
+                       if exists[bit]]
             p = np.zeros(T, dtype=np.int32)
             for i, bit in enumerate(varbits):
                 p |= ((t_ >> bit) & 1) << i

@@ -77,6 +77,12 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
                                    with_infprobs=with_infprobs,
                                    ratemat=ratemat,
                                    n_variants=n_variants)
+    if cfg.numgen == 2:
+        # dedicated 4-state engine (QTLMAS15-shape small models)
+        from .engine_ng2 import chromosome_scan_ng2
+        return chromosome_scan_ng2(fb, dists, cfg, params,
+                                   with_infprobs=with_infprobs,
+                                   ratemat=ratemat)
     if use_scan_v2 is None:
         use_scan_v2 = _scan_v2_default(cfg)
     stats_dtype_ok_v2 = (fb.ms.dtype == jnp.float32

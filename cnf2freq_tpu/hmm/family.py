@@ -156,9 +156,12 @@ def gather_family(ped: Pedigree, focal_ids: Sequence[int],
             md[b, s] = ind.markerdata[sl]
             ms[b, s] = ind.markersure[sl]
             hw[b, s] = ind.haploweight[sl]
-            # grandparent slots are tops by depth; others by founder flag
+            # grandparent slots are tops by depth; others by founder
+            # flag; two-generation units stop at the parents
+            # (attopnow: genwidth == haplotyping, cnF2freq.cpp:1095)
             is_gp = s not in (0, cfg.parent_slot(0), cfg.parent_slot(1))
-            attop[b, s] = ind.founder or (is_gp and cfg.numgen == 3)
+            attop[b, s] = ind.founder or (is_gp and cfg.numgen == 3) \
+                or (cfg.numgen == 2 and s != 0 and cfg.haplotyping)
         # duplicate-member slot groups (fixtrees relmap members with
         # multiple flag2 bits; ignoreflag2 rule 2, cnF2freq.cpp:3478):
         # probe stats must tie the group's phase bits.  Each group of k

@@ -47,19 +47,25 @@ class FamilyClauses:
 def family_variables(ped: Pedigree, focal: int) -> Tuple[Tuple[int, ...],
                                                          Tuple[bool, ...]]:
     """Turn-bit -> individual mapping with first-occurrence dedup
-    (fillcandsexists, cnF2freq.cpp:4753-4822).  Bit order: parent0, gp00,
-    gp01, parent1, gp10, gp11, focal."""
+    (fillcandsexists, cnF2freq.cpp:4753-4822).  Bit order for numgen==3:
+    parent0, gp00, gp01, parent1, gp10, gp11, focal; for numgen==2:
+    parent0, parent1, focal (the last turn bit is always the focal,
+    aroundturner cnF2freq.cpp:504-521)."""
     cfg = ped.config
     slots = ped.family_slots(focal)
-    order = [cfg.parent_slot(0), cfg.grandparent_slot(0, 0),
-             cfg.grandparent_slot(0, 1), cfg.parent_slot(1),
-             cfg.grandparent_slot(1, 0), cfg.grandparent_slot(1, 1), 0]
+    if cfg.numgen == 3:
+        order = [cfg.parent_slot(0), cfg.grandparent_slot(0, 0),
+                 cfg.grandparent_slot(0, 1), cfg.parent_slot(1),
+                 cfg.grandparent_slot(1, 0), cfg.grandparent_slot(1, 1)]
+    else:
+        order = [cfg.parent_slot(0), cfg.parent_slot(1)]
+    nbits = cfg.turnbits
     seen = {focal}
-    members = [0] * 7
-    exists = [False] * 7
-    members[6] = focal
-    exists[6] = True
-    for bit, slot in enumerate(order[:-1]):
+    members = [0] * nbits
+    exists = [False] * nbits
+    members[nbits - 1] = focal
+    exists[nbits - 1] = True
+    for bit, slot in enumerate(order):
         sid = slots[slot]
         if sid and sid not in seen:
             seen.add(sid)
@@ -78,7 +84,8 @@ def pattern_scores(clauses: FamilyClauses) -> Tuple[np.ndarray, np.ndarray,
     list, varlist).  Multiple turn masks sharing an existing-bit pattern
     sum their weights — the reference's multi-clause falsification
     behaviour (computesumweight, cnF2freq.cpp:4824-4861)."""
-    varbits = [b for b in range(7) if clauses.exists[b]]
+    varbits = [b for b in range(len(clauses.exists))
+               if clauses.exists[b]]
     varlist = [clauses.members[b] for b in varbits]
     P = 1 << len(varbits)
     M, T = clauses.weights.shape
@@ -107,7 +114,7 @@ def pattern_scores_batched(exists: Tuple[bool, ...],
 
     weights: [Bg, M, T].  Returns (S [Bg, M, P] with unreachable
     patterns at -inf, varbits)."""
-    varbits = [b for b in range(7) if exists[b]]
+    varbits = [b for b in range(len(exists)) if exists[b]]
     T = weights.shape[-1]
     P = 1 << len(varbits)
     t_ = np.arange(T)

