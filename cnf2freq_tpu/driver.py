@@ -87,10 +87,9 @@ class Driver:
         # coherence each iteration (the statistic relhaplo is designed to
         # carry; the reference's PlantImpute path leaves it inert at 0.5).
         # Dramatically speeds phase convergence; disabled in parity
-        # mode, on the extended state spaces and on the numgen==2
-        # engine (no coherence pass there yet).
-        self.adaptive_relhaplo = (not parity and not self.ext
-                                  and self.cfg.numgen == 3)
+        # mode and on the extended state spaces (no coherence pass
+        # there).
+        self.adaptive_relhaplo = not parity and not self.ext
         # Genetic-map re-estimation (the reference's default-off
         # DOREMAPDISTANCES, redesigned as a direct posterior EM update of
         # per-sex per-interval rates).

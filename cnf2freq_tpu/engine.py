@@ -237,6 +237,11 @@ def make_jitted_coherence(cfg: ModelConfig, params: RuntimeParams):
     @partial(jax.jit, static_argnames=("slot",))
     def run(fb: FamilyBatch, dists, fw_pre, bw, fw_pre_f, bw_f, slot: int,
             ratemat=None):
+        if cfg.numgen == 2:
+            from .engine_ng2 import coherence_slot_ng2
+            return coherence_slot_ng2(fb, dists, fw_pre, bw, fw_pre_f,
+                                      bw_f, cfg, params, slot,
+                                      ratemat=ratemat)
         blocks = build_blocks(fb, cfg, dtype=fb.ms.dtype)
         lam = transition_eigenvalues(
             cfg, interval_recomb(cfg, params, dists,

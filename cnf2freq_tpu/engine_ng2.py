@@ -136,6 +136,48 @@ def assemble_e_ng2(froot, P2, top, focal_attop, fb: FamilyBatch,
     return jnp.where(focal_attop[:, None, None, None], tops, e)
 
 
+def phase_resolved_emission_ng2(froot, P2, top, focal_attop,
+                                fb: FamilyBatch, cfg: ModelConfig,
+                                slot: int) -> jnp.ndarray:
+    """E_j[b, m, j(2), NS(2), S(4)]: emission restricted to the slot's
+    phase-interpretation bit == j (focal: r0^s0; parent k: rp_k^g_k)."""
+    dtype = froot.dtype
+    V = [_valid_paths2(fb.flag2ignore, k).astype(dtype) for k in range(2)]
+    PV = [P2[k] * V[k][:, None, None, None, :] for k in range(2)]
+    ps = [PV[k].sum(axis=-1) for k in range(2)]          # [b,m,r,g]
+    INDF = jnp.asarray(_IND_FOCAL, dtype=dtype)
+    INDP = jnp.asarray(_IND_PAR, dtype=dtype)
+    if slot == 0:
+        e = jnp.einsum("zmrt,zmra,zmrb,rtj->zmjtba",
+                       froot, ps[0], ps[1], INDF)
+    elif slot == 1:
+        ph = jnp.einsum("zmrap,apj->zmraj", PV[0], INDP)
+        e = jnp.einsum("zmrt,zmraj,zmrb->zmjtba", froot, ph, ps[1])
+    else:
+        ph = jnp.einsum("zmrbq,bqj->zmrbj", PV[1], INDP)
+        e = jnp.einsum("zmrt,zmrbj,zmra->zmjtba", froot, ph, ps[0])
+    B, M = e.shape[:2]
+    return e.reshape(B, M, 2, 2, 4)
+
+
+def coherence_slot_ng2(fb: FamilyBatch, dists, fw_pre, bw, fw_pre_f,
+                       bw_f, cfg: ModelConfig, params: RuntimeParams,
+                       slot: int, ratemat=None) -> jnp.ndarray:
+    """Adjacent-phase coherence for one slot of the 4-state engine."""
+    from .hmm.forward_backward import FBResult
+    from .hmm.probes import pair_coherence_from_ej
+    from .hmm.transition import interval_recomb, transition_eigenvalues
+    froot, P2, top, focal_attop = ng2_blocks(fb, cfg, dtype=fw_pre.dtype)
+    lam = transition_eigenvalues(
+        cfg, interval_recomb(cfg, params, dists,
+                             ratemat=ratemat)).astype(fw_pre.dtype)
+    e_j = phase_resolved_emission_ng2(froot, P2, top, focal_attop, fb,
+                                      cfg, slot)
+    fbres = FBResult(fw_pre=fw_pre, fw_post=fw_pre, bw=bw,
+                     fw_pre_f=fw_pre_f, fw_post_f=fw_pre_f, bw_f=bw_f)
+    return pair_coherence_from_ej(fbres, e_j, lam)
+
+
 def haplo_update_mask_ng2(fb: FamilyBatch, cfg: ModelConfig,
                           ci: bool = False) -> jnp.ndarray:
     """[b, m, 3] bool — visited, existing, not duplicate-allele

@@ -624,6 +624,29 @@ def _phase_resolved_emission(blocks: EmissionBlocks, fb: FamilyBatch,
     return e.reshape(B, M, 2, cfg.numshifts, cfg.numtypes)
 
 
+def pair_coherence_from_ej(fbres: FBResult, e_j: jnp.ndarray,
+                           lam: jnp.ndarray) -> jnp.ndarray:
+    """C[b, m] from a phase-resolved emission tensor e_j
+    [B, M, j(2), NS, S]; last column is 0.5 padding.  Generic over the
+    state space (used by the numgen==3 and numgen==2 engines)."""
+    from .transition import apply_transition
+    B, M, NS, S = fbres.fw_pre.shape
+    dtype = fbres.fw_pre.dtype
+    logw = fbres.fw_pre_f[:, :-1, :] + fbres.bw_f[:, 1:, :]
+    logw = logw - logw.max(axis=-1, keepdims=True)
+    w = jnp.exp(logw)                                   # [B, M-1, NS]
+
+    x = fbres.fw_pre[:, :-1, None] * e_j[:, :-1]        # [B,M-1,j,NS,S]
+    xt = apply_transition(x, lam[:, None, None, :])
+    y = e_j[:, 1:] * fbres.bw[:, 1:, None]              # [B,M-1,j',NS,S]
+    jmat = jnp.einsum("zmiag,zmjag,zma->zmij", xt, y, w)
+    tot = jmat.sum(axis=(-1, -2))
+    same = jmat[..., 0, 0] + jmat[..., 1, 1]
+    c = jnp.where(tot > 0, same / jnp.where(tot > 0, tot, 1.0), 0.5)
+    pad = jnp.full((B, 1), 0.5, dtype=dtype)
+    return jnp.concatenate([c, pad], axis=1)
+
+
 def phase_coherence_slot(fbres: FBResult, blocks: EmissionBlocks,
                          fb: FamilyBatch, cfg: ModelConfig,
                          lam: jnp.ndarray, slot: int) -> jnp.ndarray:
@@ -636,23 +659,8 @@ def phase_coherence_slot(fbres: FBResult, blocks: EmissionBlocks,
     0.5).  Computed from the pairwise joint
     fw_pre[m] * E_j[m] * T_m * E_j'[m+1] * bw[m+1] per shift mode.
     One slot per call keeps peak memory bounded at large B*M."""
-    from .transition import apply_transition
-    B, M, NS, S = fbres.fw_pre.shape
-    dtype = fbres.fw_pre.dtype
-    logw = fbres.fw_pre_f[:, :-1, :] + fbres.bw_f[:, 1:, :]
-    logw = logw - logw.max(axis=-1, keepdims=True)
-    w = jnp.exp(logw)                                   # [B, M-1, NS]
-
     e_j = _phase_resolved_emission(blocks, fb, cfg, slot)
-    x = fbres.fw_pre[:, :-1, None] * e_j[:, :-1]        # [B,M-1,j,NS,S]
-    xt = apply_transition(x, lam[:, None, None, :])
-    y = e_j[:, 1:] * fbres.bw[:, 1:, None]              # [B,M-1,j',NS,S]
-    jmat = jnp.einsum("zmiag,zmjag,zma->zmij", xt, y, w)
-    tot = jmat.sum(axis=(-1, -2))
-    same = jmat[..., 0, 0] + jmat[..., 1, 1]
-    c = jnp.where(tot > 0, same / jnp.where(tot > 0, tot, 1.0), 0.5)
-    pad = jnp.full((B, 1), 0.5, dtype=dtype)
-    return jnp.concatenate([c, pad], axis=1)
+    return pair_coherence_from_ej(fbres, e_j, lam)
 
 
 def phase_coherence(fbres: FBResult, blocks: EmissionBlocks,

@@ -224,3 +224,73 @@ def test_ng2_rejects_no_haplotyping():
     with pytest.raises(NotImplementedError):
         chromosome_scan(fb, jnp.asarray(np.diff(ped.markerposes)), cfg,
                         RuntimeParams())
+
+
+def test_ng2_coherence_matches_bruteforce():
+    """Adjacent-phase coherence on the 4-state engine vs direct
+    enumeration over (shift, state, path) pairs with golden emissions."""
+    import jax.numpy as jnp
+
+    from cnf2freq_tpu.config import RuntimeParams
+    from cnf2freq_tpu.engine import make_jitted_coherence
+    from cnf2freq_tpu.golden import GoldenEngine
+    from cnf2freq_tpu.hmm.family import gather_family
+    from cnf2freq_tpu.hmm.forward_backward import (combined_loglik,
+                                                   forward_backward)
+    from cnf2freq_tpu.engine_ng2 import assemble_e_ng2, ng2_blocks
+
+    ped = make_ng2_ped(M=7, seed=4)
+    eng = GoldenEngine(ped)
+    params = RuntimeParams()
+    M = ped.num_markers
+    fb = gather_family(ped, list(ped.dous), 0, M - 1,
+                       mask_mode="reference")
+    fbj = fb.map(jnp.asarray)
+    dists = jnp.asarray(np.diff(ped.markerposes))
+    froot, P2, top, fat = ng2_blocks(fbj, CFG2)
+    e = assemble_e_ng2(froot, P2, top, fat, fbj, CFG2)
+    fbres = forward_backward(e, dists, CFG2, params, use_pallas=False)
+    coh_fn = make_jitted_coherence(CFG2, params)
+
+    def phase_bit(slot, g, f2, s):
+        if slot == 0:
+            return (f2 & 1) ^ (s & 1)
+        k = slot - 1
+        return ((f2 >> (1 + k)) & 1) ^ ((g >> k) & 1)
+
+    b = 0
+    n = ped.dous[b]
+    ind = ped.by_id(n)
+    f2ig = int(fb.flag2ignore[b])
+    m = 2
+    dist = ped.markerposes[m + 1] - ped.markerposes[m]
+    fw_pre = np.asarray(fbres.fw_pre)[b]
+    bw = np.asarray(fbres.bw)[b]
+    fw_pre_f = np.asarray(fbres.fw_pre_f)[b]
+    bw_f = np.asarray(fbres.bw_f)[b]
+    for slot in range(3):
+        c_fast = np.asarray(coh_fn(fbj, dists, fbres.fw_pre, fbres.bw,
+                                   fbres.fw_pre_f, fbres.bw_f, slot))
+        jmat = np.zeros((2, 2))
+        for s in range(CFG2.numshifts):
+            w = np.exp(fw_pre_f[m, s] + bw_f[m + 1, s])
+            for g in range(4):
+                for f2 in range(CFG2.numpaths):
+                    if f2 & f2ig:
+                        continue
+                    e1 = eng.emission(ind, m, s, f2)[g]
+                    if e1 == 0:
+                        continue
+                    for g2 in range(4):
+                        T = eng.recombprec(dist)[g ^ g2]
+                        for f22 in range(CFG2.numpaths):
+                            if f22 & f2ig:
+                                continue
+                            e2 = eng.emission(ind, m + 1, s, f22)[g2]
+                            j1 = phase_bit(slot, g, f2, s)
+                            j2 = phase_bit(slot, g2, f22, s)
+                            jmat[j1, j2] += (fw_pre[m, s, g] * e1 * T *
+                                             e2 * bw[m + 1, s, g2] * w)
+        want = (jmat[0, 0] + jmat[1, 1]) / jmat.sum()
+        np.testing.assert_allclose(c_fast[b, m], want, rtol=1e-9,
+                                   err_msg=f"slot {slot}")
