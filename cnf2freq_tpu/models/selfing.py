@@ -193,9 +193,12 @@ def selfing_forward_backward(e_self: jnp.ndarray, dists: jnp.ndarray,
         e, w, spm = xs
         pn, logf = _emit_normalise_self(p, e, logf)
         pc = apply_transition(pn, w[None, None, :])
-        # backward accumulates against the transposed kernel:
-        # out[from] = sum_to sp[from][to] * in[to]
-        pprev = jnp.einsum("bfg,bgsn->bfsn", spm, pc)
+        # the reference's backward sweep applies the SAME from->to
+        # kernel as the forward one (probs2[to] += probs[from] *
+        # selfprec[from][to] with the suffix carry in the "from" role,
+        # realanalyze cnF2freq.cpp:2352-2364) — not the adjoint; the
+        # distinction only matters for the non-symmetric selfprec
+        pprev = jnp.einsum("bfg,bfsn->bgsn", spm, pc)
         return (pprev, logf), (pprev, logf)
 
     e_rev = e_scan[1:][::-1]

@@ -91,6 +91,17 @@ def test_selfing_fb_matches_golden(seed, gen, selfed):
             np.testing.assert_allclose(ours, g_post, rtol=1e-9,
                                        atol=1e-12,
                                        err_msg=f"shift {s} marker {m}")
+        # backward store too: the reference applies the UNtransposed
+        # selfprec in the backward sweep (cnF2freq.cpp:2352-2364), which
+        # differs from the adjoint for selfgen > 0
+        for m in range(M):
+            ours = np.asarray(fbres.bw[0, m, :, :, s]).reshape(3 * S)
+            g_bw = gold[s]["bw"][m]
+            scale = np.exp(gold[s]["bw_f"][m]
+                           - np.asarray(fbres.bw_f[0, m, s]))
+            np.testing.assert_allclose(ours, g_bw * scale, rtol=1e-9,
+                                       atol=1e-12,
+                                       err_msg=f"bw shift {s} marker {m}")
 
 
 def test_selfgen0_reduces_to_base_model():
