@@ -87,9 +87,11 @@ class Driver:
         # coherence each iteration (the statistic relhaplo is designed to
         # carry; the reference's PlantImpute path leaves it inert at 0.5).
         # Dramatically speeds phase convergence; disabled in parity
-        # mode and on the extended state spaces (no coherence pass
-        # there).
-        self.adaptive_relhaplo = not parity and not self.ext
+        # mode and under SELFING (no per-slot coherence pass there).
+        # Under RELSKEWSTATES the coherence bit is part of the hidden
+        # state and its posterior xor-marginal is the exact EM statistic
+        # for relhaplo (engine_ext.relskew_coherence_ext).
+        self.adaptive_relhaplo = not parity and not self.cfg.selfing
         # Genetic-map re-estimation (the reference's default-off
         # DOREMAPDISTANCES, redesigned as a direct posterior EM update of
         # per-sex per-interval rates).
@@ -163,7 +165,10 @@ class Driver:
         return self._scan_cache[key]
 
     def _jitted_scan_merged(self, num_individuals: int):
-        key = ("scan_merged", self.dtype, num_individuals)
+        # extended spaces deliver coherence from inside the scan
+        wc = (self.ext and self.adaptive_relhaplo and
+              self.cfg.relskewstates)
+        key = ("scan_merged", self.dtype, num_individuals, wc)
         if key not in self._scan_cache:
             from .engine import (make_jitted_coherence,
                                  make_jitted_scan_merged)
@@ -171,8 +176,10 @@ class Driver:
                 make_jitted_scan_merged(self.cfg, self.params,
                                         num_individuals,
                                         n_variants=self._n_variants(),
-                                        probe_rules=self.parity),
-                make_jitted_coherence(self.cfg, self.params))
+                                        probe_rules=self.parity,
+                                        with_coherence=wc),
+                make_jitted_coherence(self.cfg, self.params)
+                if not self.ext else None)
         return self._scan_cache[key]
 
     def _jitted_scan_sharded(self, num_individuals: int):
@@ -186,7 +193,7 @@ class Driver:
                 probe_rules=self.parity,
                 n_variants=self._n_variants(),
                 with_coherence=self.adaptive_relhaplo and
-                self.cfg.relskews)
+                (self.cfg.relskews or self.cfg.relskewstates))
         return self._scan_cache[key]
 
     def _chunk_size(self, n_units: int, m_markers: int) -> int:
@@ -681,10 +688,24 @@ class Driver:
                 if self.remap_distances:
                     self._accumulate_recomb(nb, Mc, fbj, dj, res, rj,
                                             remap_acc)
-                if self.adaptive_relhaplo and self.cfg.relskews:
+                if self.adaptive_relhaplo and (self.cfg.relskews or
+                                               self.cfg.relskewstates):
                     with self.tracer.span("coherence"):
                         from .updates.scatter import scatter_coherence
-                        if coh_t is not None:
+                        if self.ext:
+                            # RELSKEWSTATES: the scan already produced
+                            # the coherence-bit xor-marginal in slot 0
+                            # (other slots stay neutral and must not be
+                            # scattered)
+                            coh = np.asarray(res.coherence
+                                             if coh_t is None else coh_t)
+                            cohr = np.array(coh[:nb, :Mc, 0:1])
+                            cohr[:, Mc - 1] = 0.5
+                            scatter_coherence(sb[:, 0:1], desc, lo, cohr,
+                                              coh_num, coh_den,
+                                              ind_index)
+                            coh = None
+                        elif coh_t is not None:
                             # mesh path: coherence came out of the
                             # sharded scan program
                             coh = np.asarray(coh_t)
@@ -700,14 +721,16 @@ class Driver:
                                                   ratemat=rj))
                                 for slot in range(self.cfg.numslots)],
                                 axis=-1)
-                        cohr = np.array(coh[:nb, :Mc])
-                        # the last marker has no right neighbor: keep
-                        # its interval coherence neutral (with marker
-                        # bucketing the raw column holds the real-to-
-                        # pad-marker value, an artifact)
-                        cohr[:, Mc - 1] = 0.5
-                        scatter_coherence(sb, desc, lo, cohr,
-                                          coh_num, coh_den, ind_index)
+                        if coh is not None:
+                            cohr = np.array(coh[:nb, :Mc])
+                            # the last marker has no right neighbor:
+                            # keep its interval coherence neutral (with
+                            # marker bucketing the raw column holds the
+                            # real-to-pad-marker value, an artifact)
+                            cohr[:, Mc - 1] = 0.5
+                            scatter_coherence(sb, desc, lo, cohr,
+                                              coh_num, coh_den,
+                                              ind_index)
                 if not early:
                     # native mode keeps the [nb, M, T] chunks ON DEVICE:
                     # the flip scorer consumes them there and only [B, k]
@@ -770,7 +793,8 @@ class Driver:
             if self.remap_distances:
                 self._apply_recomb(lo, hi, remap_acc)
 
-        if self.adaptive_relhaplo and self.cfg.relskews:
+        if self.adaptive_relhaplo and (self.cfg.relskews or
+                                       self.cfg.relskewstates):
             got = coh_den > 0
             vals = np.where(got, coh_num / np.maximum(coh_den, 1), 0.5)
             for n, i in ind_index.items():

@@ -76,7 +76,8 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
         return chromosome_scan_ext(fb, dists, cfg, params,
                                    with_infprobs=with_infprobs,
                                    ratemat=ratemat,
-                                   n_variants=n_variants)
+                                   n_variants=n_variants,
+                                   with_coherence=with_coherence)
     if cfg.numgen == 2:
         # dedicated 4-state engine (QTLMAS15-shape small models)
         from .engine_ng2 import chromosome_scan_ng2
@@ -197,7 +198,8 @@ def make_jitted_scan(cfg: ModelConfig, params: RuntimeParams,
 
 def make_jitted_scan_merged(cfg: ModelConfig, params: RuntimeParams,
                             num_individuals: int, n_variants: int = 1,
-                            probe_rules: bool = False):
+                            probe_rules: bool = False,
+                            with_coherence: bool = False):
     """Scan + on-device accumulator merge: the per-family statistics are
     segment-summed onto per-individual accumulator rows before leaving
     the device, so [NI, M]-shaped merged tensors cross the host link
@@ -209,7 +211,8 @@ def make_jitted_scan_merged(cfg: ModelConfig, params: RuntimeParams,
     def run(fb: FamilyBatch, dists, lut, ratemat):
         res = chromosome_scan(fb, dists, cfg, params, ratemat=ratemat,
                               n_variants=n_variants,
-                              probe_rules=probe_rules)
+                              probe_rules=probe_rules,
+                              with_coherence=with_coherence)
         hb, hc = merge_haplos(res.haplo_b12, res.haplo_mask, fb.hw,
                               fb.slot_ind, fb.descendants, lut,
                               num_individuals)

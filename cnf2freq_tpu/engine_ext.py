@@ -277,10 +277,44 @@ def turn_weights_ext(fbres: ExtFBResult, fb: FamilyBatch, cfg: ModelConfig,
     return w
 
 
+def relskew_coherence_ext(fbres: ExtFBResult, e_ext: jnp.ndarray,
+                          fb: FamilyBatch, cfg: ModelConfig,
+                          params: RuntimeParams, dists: jnp.ndarray,
+                          ratemat=None) -> jnp.ndarray:
+    """C[b, m]: posterior P(coherence bit equal at markers m, m+1) under
+    RELSKEWSTATES — the EM statistic for the relhaplo transition weight
+    (the bit the state space carries explicitly; last column 0.5 pad).
+
+    Pairwise joint over the V axis: J[vf, vt] = sum_g fw_post[m, vf] .
+    R_base . relscore[vf^vt] . (E[m+1, vt] * bw[m+1, vt]), weighted per
+    shift mode."""
+    assert cfg.relskewstates
+    B, M, V, NS, S = fbres.fw_post.shape
+    dtype = fbres.fw_post.dtype
+    r = interval_recomb(cfg, params, dists, ratemat=ratemat)
+    lam = transition_eigenvalues(cfg, r).astype(dtype)      # [M-1, S]
+    C = _vcoupling(fb, cfg, params, dists, dtype)           # [B,M-1,V,V]
+
+    logw = fbres.fw_post_f[:, :-1, :] + fbres.bw_f[:, 1:, :]
+    logw = logw - logw.max(axis=-1, keepdims=True)
+    w = jnp.exp(logw)                                       # [B, M-1, NS]
+
+    x = fbres.fw_post[:, :-1]                               # [B,M-1,V,NS,S]
+    xt = apply_transition(x, lam[:, None, None, :])
+    y = e_ext[:, 1:] * fbres.bw[:, 1:]
+    J = jnp.einsum("bmvns,bmwns,bmn,bmvw->bmvw", xt, y, w, C)
+    tot = J.sum(axis=(-1, -2))
+    same = J[..., 0, 0] + J[..., 1, 1]
+    c = jnp.where(tot > 0, same / jnp.where(tot > 0, tot, 1.0), 0.5)
+    pad = jnp.full((B, 1), 0.5, dtype=dtype)
+    return jnp.concatenate([c, pad], axis=1)
+
+
 def chromosome_scan_ext(fb: FamilyBatch, dists: jnp.ndarray,
                         cfg: ModelConfig, params: RuntimeParams,
                         with_infprobs: bool = True, ratemat=None,
-                        n_variants: int = 1):
+                        n_variants: int = 1,
+                        with_coherence: bool = False):
     """One extended-state chromosome scan with the full ScanResult
     contract of engine.chromosome_scan (total likelihoods, haplo/infprob
     update statistics, genotype-pair posteriors, turn scores).
@@ -355,6 +389,13 @@ def chromosome_scan_ext(fb: FamilyBatch, dists: jnp.ndarray,
 
     turn_w = turn_weights_ext(fbres, fb, cfg)
     coh = jnp.full((B, M, cfg.numslots), 0.5, dtype=dtype)
+    if with_coherence and cfg.relskewstates:
+        # the coherence bit is part of the hidden state: its posterior
+        # xor-marginal per interval is the EM statistic for the focal's
+        # relhaplo (slot 0; other slots stay neutral)
+        c0 = relskew_coherence_ext(fbres, e_ext, fb, cfg, params, dists,
+                                   ratemat=ratemat)
+        coh = jnp.concatenate([c0[..., None], coh[..., 1:]], axis=-1)
     return ScanResult(total=total, haplo_b12=b12, haplo_mask=mask,
                       inf_accum=inf, pair=pair, turn_weight=turn_w,
                       coherence=coh, fw_pre=fbres.fw_pre, bw=fbres.bw,

@@ -240,3 +240,81 @@ def test_ext_pair_posterior_normalised():
     p = pair / tot[..., None, None]
     assert np.isfinite(p).all()
     assert ((p >= 0) & (p <= 1)).all()
+
+
+def test_relskew_coherence_ext_matches_bruteforce():
+    """The coherence-bit xor-marginal (relhaplo EM statistic) vs direct
+    enumeration over the extended state pairs with golden quantities."""
+    import jax.numpy as jnp
+
+    from cnf2freq_tpu.config import RuntimeParams
+    from cnf2freq_tpu.engine_ext import (ext_blocks,
+                                         extended_forward_backward,
+                                         relskew_coherence_ext)
+    from cnf2freq_tpu.golden import GoldenEngine
+    from cnf2freq_tpu.hmm.family import gather_family
+
+    ped = make_relskew_ped(M=6, seed=9)
+    cfg, params = CFG_REL, RuntimeParams()
+    eng = GoldenEngine(ped)
+    M = ped.num_markers
+    fb = gather_family(ped, list(ped.dous), 0, M - 1,
+                       mask_mode="reference")
+    fbj = fb.map(jnp.asarray)
+    dists = jnp.asarray(np.diff(ped.markerposes))
+    blocks, e_ext, _, _ = ext_blocks(fbj, cfg)
+    fbres = extended_forward_backward(e_ext, dists, fbj, cfg, params)
+    c_fast = np.asarray(relskew_coherence_ext(fbres, e_ext, fbj, cfg,
+                                              params, dists))
+
+    b = 0
+    n = ped.dous[b]
+    ind = ped.by_id(n)
+    S = cfg.numtypes
+    fbs = {s: eng.fwbw(ind, 0, M - 1, s) for s in range(cfg.numshifts)}
+    for m in (1, 3):
+        dist = ped.markerposes[m + 1] - ped.markerposes[m]
+        rp = eng.recombprec(dist)
+        relh = float(ind.relhaplo[m])
+        relscore = np.array([[relh, 1 - relh], [1 - relh, relh]])
+        J = np.zeros((2, 2))
+        fmax = max(fbs[s]["fw_post_f"][m] + fbs[s]["bw_f"][m + 1]
+                   for s in range(cfg.numshifts))
+        for s in range(cfg.numshifts):
+            w = np.exp(fbs[s]["fw_post_f"][m] + fbs[s]["bw_f"][m + 1]
+                       - fmax)
+            fwp = fbs[s]["fw_post"][m]
+            bwv = fbs[s]["bw"][m + 1]
+            E2 = eng.emission(ind, m + 1, s)
+            for vf in range(2):
+                for vt in range(2):
+                    acc = 0.0
+                    for g in range(S):
+                        for g2 in range(S):
+                            acc += (fwp[vf * S + g] * rp[g ^ g2] *
+                                    E2[vt * S + g2] * bwv[vt * S + g2])
+                    J[vf, vt] += w * acc * relscore[vf, vt]
+        want = (J[0, 0] + J[1, 1]) / J.sum()
+        np.testing.assert_allclose(c_fast[b, m], want, rtol=1e-9)
+
+
+def test_driver_relskewstates_adaptive_relhaplo():
+    """Full iterations under RELSKEWSTATES with the coherence-bit EM
+    update of relhaplo: runs finite and moves relhaplo off its
+    initial values for the analysis individuals."""
+    from cnf2freq_tpu.driver import Driver
+
+    ped = make_relskew_ped(M=10)
+    before = {n: ped.by_id(n).relhaplo.copy() for n in ped.dous}
+    drv = Driver(ped)
+    assert drv.adaptive_relhaplo
+    drv.preprocess()
+    drv.iterate(early=True)
+    info = drv.iterate()
+    assert np.isfinite(info["hitnnn"])
+    moved = any(np.abs(ped.by_id(n).relhaplo - before[n]).max() > 1e-6
+                for n in ped.dous)
+    assert moved
+    for n in ped.dous:
+        rh = ped.by_id(n).relhaplo
+        assert ((rh > 0) & (rh < 1)).all()
