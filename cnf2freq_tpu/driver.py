@@ -87,11 +87,11 @@ class Driver:
         # coherence each iteration (the statistic relhaplo is designed to
         # carry; the reference's PlantImpute path leaves it inert at 0.5).
         # Dramatically speeds phase convergence; disabled in parity
-        # mode and under SELFING (no per-slot coherence pass there).
-        # Under RELSKEWSTATES the coherence bit is part of the hidden
-        # state and its posterior xor-marginal is the exact EM statistic
-        # for relhaplo (engine_ext.relskew_coherence_ext).
-        self.adaptive_relhaplo = not parity and not self.cfg.selfing
+        # mode.  Under RELSKEWSTATES the coherence bit is part of the
+        # hidden state and its posterior xor-marginal is the exact EM
+        # statistic for relhaplo (engine_ext.relskew_coherence_ext);
+        # SELFING runs per-slot coherence over the extended space.
+        self.adaptive_relhaplo = not parity
         # Genetic-map re-estimation (the reference's default-off
         # DOREMAPDISTANCES, redesigned as a direct posterior EM update of
         # per-sex per-interval rates).
@@ -166,8 +166,7 @@ class Driver:
 
     def _jitted_scan_merged(self, num_individuals: int):
         # extended spaces deliver coherence from inside the scan
-        wc = (self.ext and self.adaptive_relhaplo and
-              self.cfg.relskewstates)
+        wc = self.ext and self.adaptive_relhaplo
         key = ("scan_merged", self.dtype, num_individuals, wc)
         if key not in self._scan_cache:
             from .engine import (make_jitted_coherence,
@@ -693,15 +692,19 @@ class Driver:
                     with self.tracer.span("coherence"):
                         from .updates.scatter import scatter_coherence
                         if self.ext:
-                            # RELSKEWSTATES: the scan already produced
-                            # the coherence-bit xor-marginal in slot 0
+                            # extended spaces deliver coherence from the
+                            # scan itself.  RELSKEWSTATES: the
+                            # coherence-bit xor-marginal lives in slot 0
                             # (other slots stay neutral and must not be
-                            # scattered)
+                            # scattered); SELFING: per-slot coherence
+                            # like the standard space.
                             coh = np.asarray(res.coherence
                                              if coh_t is None else coh_t)
-                            cohr = np.array(coh[:nb, :Mc, 0:1])
+                            ns = 1 if self.cfg.relskewstates \
+                                else self.cfg.numslots
+                            cohr = np.array(coh[:nb, :Mc, :ns])
                             cohr[:, Mc - 1] = 0.5
-                            scatter_coherence(sb[:, 0:1], desc, lo, cohr,
+                            scatter_coherence(sb[:, :ns], desc, lo, cohr,
                                               coh_num, coh_den,
                                               ind_index)
                             coh = None

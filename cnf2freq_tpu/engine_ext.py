@@ -310,6 +310,39 @@ def relskew_coherence_ext(fbres: ExtFBResult, e_ext: jnp.ndarray,
     return jnp.concatenate([c, pad], axis=1)
 
 
+def coherence_slot_ext(fbres: ExtFBResult, blocks_v, fb: FamilyBatch,
+                       cfg: ModelConfig, params: RuntimeParams,
+                       dists: jnp.ndarray, slot: int,
+                       ratemat=None) -> jnp.ndarray:
+    """C[b, m]: posterior P(phase bit of `slot` equal at markers m, m+1)
+    over an extended state space — the per-value phase-resolved
+    emissions ride the V axis and the interval transition composes the
+    base-state Walsh-Hadamard kernel with the V coupling."""
+    from .hmm.probes import _phase_resolved_emission
+    B, M, V, NS, S = fbres.fw_pre.shape
+    dtype = fbres.fw_pre.dtype
+    r = interval_recomb(cfg, params, dists, ratemat=ratemat)
+    lam = transition_eigenvalues(cfg, r).astype(dtype)      # [M-1, S]
+    C = _vcoupling(fb, cfg, params, dists, dtype)           # [B,M-1,V,V]
+
+    e_j = jnp.stack([_phase_resolved_emission(blocks_v[v], fb, cfg, slot)
+                     for v in range(V)], axis=2)    # [B, M, V, j, NS, S]
+    logw = fbres.fw_pre_f[:, :-1, :] + fbres.bw_f[:, 1:, :]
+    logw = logw - logw.max(axis=-1, keepdims=True)
+    w = jnp.exp(logw)                                       # [B, M-1, NS]
+
+    x = fbres.fw_pre[:, :-1, :, None] * e_j[:, :-1]
+    xt = apply_transition(x, lam[:, None, None, None, :])
+    xt = jnp.einsum("bmfg,bmfjns->bmgjns", C, xt)
+    y = e_j[:, 1:] * fbres.bw[:, 1:, :, None]
+    J = jnp.einsum("bmvins,bmvjns,bmn->bmij", xt, y, w)
+    tot = J.sum(axis=(-1, -2))
+    same = J[..., 0, 0] + J[..., 1, 1]
+    c = jnp.where(tot > 0, same / jnp.where(tot > 0, tot, 1.0), 0.5)
+    pad = jnp.full((B, 1), 0.5, dtype=dtype)
+    return jnp.concatenate([c, pad], axis=1)
+
+
 def chromosome_scan_ext(fb: FamilyBatch, dists: jnp.ndarray,
                         cfg: ModelConfig, params: RuntimeParams,
                         with_infprobs: bool = True, ratemat=None,
@@ -396,6 +429,12 @@ def chromosome_scan_ext(fb: FamilyBatch, dists: jnp.ndarray,
         c0 = relskew_coherence_ext(fbres, e_ext, fb, cfg, params, dists,
                                    ratemat=ratemat)
         coh = jnp.concatenate([c0[..., None], coh[..., 1:]], axis=-1)
+    elif with_coherence and cfg.selfing:
+        # per-slot adjacent-phase coherence over the extended space
+        coh = jnp.stack([coherence_slot_ext(fbres, blocks_v, fb, cfg,
+                                            params, dists, slot,
+                                            ratemat=ratemat)
+                         for slot in range(cfg.numslots)], axis=-1)
     return ScanResult(total=total, haplo_b12=b12, haplo_mask=mask,
                       inf_accum=inf, pair=pair, turn_weight=turn_w,
                       coherence=coh, fw_pre=fbres.fw_pre, bw=fbres.bw,

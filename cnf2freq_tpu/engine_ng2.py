@@ -97,23 +97,64 @@ def embed7(fb: FamilyBatch) -> FamilyBatch:
         emptyslot=empty7, dup_flip=dup7)
 
 
+def _leaf_block(par, v, sv, ci: bool, haplotyping: bool, dtype):
+    """[..., r0(2), p0(2), rp(2)] leaf term of a two-generation parent:
+    matched value with the second channel absorbed (attopnow at
+    genwidth 1, cnF2freq.cpp:1095, 1213-1217) times the phase factor
+    rp ^ p0 (parents carry no shift bit, upflagit cnF2freq.cpp:321-329);
+    1 + sv with the path bit canonically pinned when vacant."""
+    from .config import ZP_NONE
+    from .hmm.emission import _match_raw
+
+    def ex3(x):
+        x = jnp.asarray(x)
+        return x.reshape(x.shape + (1, 1, 1))
+
+    def pick3(pair, idx):
+        return jnp.where(idx == 1, ex3(pair[..., 1]), ex3(pair[..., 0]))
+
+    R0 = np.arange(2).reshape(2, 1, 1)
+    P0 = np.arange(2).reshape(1, 2, 1)
+    RP = np.arange(2).reshape(1, 1, 2)
+    vb = pick3(v, R0)
+    svb = pick3(sv, R0)
+    md_rp = pick3(par.md, RP)
+    ms_rp = pick3(par.ms, RP)
+    bv, pre, _ = _match_raw(vb, svb, md_rp, ms_rp, ZP_NONE)
+    f2n = RP ^ P0
+    collapse = ex3((par.md[..., 0] == par.md[..., 1]) &
+                   (ci | (par.ms[..., 0] == par.ms[..., 1])))
+    if haplotyping:
+        w = jnp.abs(f2n - ex3(par.hw))
+    else:
+        w = jnp.full_like(ex3(par.hw) + f2n, 0.5)
+    ph = jnp.where(collapse, f2n.astype(dtype), w)
+    term = (bv + pre) * ph
+    term = jnp.where(ex3(par.exists), term, 1.0 + svb)
+    return term * jnp.where(ex3(par.exists), True, RP == 0)
+
+
 def ng2_blocks(fb: FamilyBatch, cfg: ModelConfig, ci: bool = False,
                dtype=jnp.float64, update: int = 0, inval=None, insv=None,
                side: int = 0):
     """(froot [b,m,r,t], P2 [k][b,m,r,p,rp], top, focal_attop): the
-    4-state factored emission, reduced from the numgen==3 builders.
-
-    The vacant-grandparent reduction: the parent block's fp axis
-    collapses to its p0 bit (grandparent state bits inert), the fpath
-    axis to its rp bit (vacant path bits canonically pinned), and the
-    sk axis to 0 (two-generation parents carry no shift bit)."""
-    from .hmm.emission import build_blocks
-    cfg3 = ng3_equiv(cfg)
-    fb7 = embed7(fb)
-    blocks = build_blocks(fb7, cfg3, ci=ci, update=update, zp=0,
-                          inval=inval, insv=insv, side=side, dtype=dtype)
-    P2 = [blocks.pb[k][:, :, :, 0:2, 0:2, 0] for k in range(2)]
-    return blocks.froot, P2, blocks.top, blocks.focal_attop
+    4-state factored emission — the focal term from the shared
+    root_block, each parent as a direct leaf tensor (equivalent to the
+    numgen==3 parent block with vacant grandparents: fp axis collapses
+    to p0, fpath to rp, sk pinned 0 — pinned against the golden spec by
+    tests/test_engine_ng2.py)."""
+    from .hmm.emission import root_block, slot_data
+    focal = slot_data(fb, 0)
+    rb = root_block(focal, update=update, zp=0, ci=ci,
+                    haplotyping=cfg.haplotyping, inval=inval, insv=insv,
+                    side=side, dtype=dtype)
+    P2 = []
+    for k in range(2):
+        par = slot_data(fb, 1 + k)
+        first = (k == side)
+        vk, svk = (rb.vA, rb.svA) if first else (rb.vB, rb.svB)
+        P2.append(_leaf_block(par, vk, svk, ci, cfg.haplotyping, dtype))
+    return rb.froot, P2, rb.top, fb.attop[:, 0]
 
 
 def _valid_paths2(flag2ignore: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -221,13 +262,19 @@ def haplo_stats_ng2(W, froot, P2, fb, cfg):
 
 def _share_blocks_ng2(fb, cfg, side, mv, ci, dtype):
     """U[b, m, r', p, rp, s0]: the traced side-branch of a GENOSPROBE
-    with root value mv (sideval, cnF2freq.cpp:5517-5527)."""
+    with root value mv (sideval, cnF2freq.cpp:5517-5527).  Only the
+    traced parent's leaf is built — the untraced branch cancels in the
+    share ratio."""
+    from .hmm.emission import root_block, slot_data
     B, M = fb.md.shape[0], fb.md.shape[2]
     inval = jnp.full((B, M), mv, dtype=jnp.int32)
-    froot, P2, _, _ = ng2_blocks(fb, cfg, ci=ci, dtype=dtype,
-                                 inval=inval, side=side)
+    focal = slot_data(fb, 0)
+    rb = root_block(focal, ci=ci, haplotyping=cfg.haplotyping,
+                    inval=inval, side=side, dtype=dtype)
+    leaf = _leaf_block(slot_data(fb, 1 + side), rb.vA, rb.svA, ci,
+                       cfg.haplotyping, dtype)
     # U axes: [b, m, r', p, rp, s0]
-    return froot[:, :, :, None, None, :] * P2[side][..., None]
+    return rb.froot[:, :, :, None, None, :] * leaf[..., None]
 
 
 def infprob_stats_ng2(W, froot, P2, fb, cfg, ci: bool = False):
@@ -304,8 +351,36 @@ def chromosome_scan_ng2(fb: FamilyBatch, dists: jnp.ndarray,
     B, M = fb.md.shape[0], fb.md.shape[2]
     froot, P2, top, focal_attop = ng2_blocks(fb, cfg, dtype=dtype)
     e = assemble_e_ng2(froot, P2, top, focal_attop, fb, cfg)
-    fbres = forward_backward(e, dists, cfg, params, use_pallas=False,
-                             ratemat=ratemat)
+    if jax.default_backend() != "cpu":
+        # X-layout sweeps: the joint (shift, state) axis X = 8 rides the
+        # sublanes and the batch rides the 128-wide lane axis — the
+        # [B, M, 2, 4] state-minor layout would waste 31/32 of every
+        # vector register (measured 2.4x SLOWER than even the embedded
+        # 64-state v2 pipeline); in X-layout the dedicated engine is
+        # where the 16x state-work saving actually lands
+        from .ops.scan_v2 import fb_scan_v2
+        from .hmm.forward_backward import FBResult
+        NS, S = cfg.numshifts, cfg.numtypes
+        R = -(-B // 128) * 128
+        e_x = jnp.pad(jnp.transpose(e, (1, 2, 3, 0)).reshape(
+            M, NS * S, B), ((0, 0), (0, 0), (0, R - B)))
+        fb2 = fb_scan_v2(e_x, dists, cfg, params, ratemat=ratemat)
+
+        def to_std(x):
+            return jnp.transpose(x[:, :, :B], (2, 0, 1)).reshape(
+                B, M, NS, S)
+
+        def to_std_f(x):
+            return jnp.transpose(x[:, :, :B], (2, 0, 1))
+
+        fbres = FBResult(fw_pre=to_std(fb2.fw_pre),
+                         fw_post=to_std(fb2.fw_post), bw=to_std(fb2.bw),
+                         fw_pre_f=to_std_f(fb2.fw_pre_f),
+                         fw_post_f=to_std_f(fb2.fw_post_f),
+                         bw_f=to_std_f(fb2.bw_f))
+    else:
+        fbres = forward_backward(e, dists, cfg, params, use_pallas=False,
+                                 ratemat=ratemat)
     total = combined_loglik(fbres, fb.shiftignore)
     W = posterior_weight(fbres, total, fb.shiftignore)
 

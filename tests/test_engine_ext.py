@@ -318,3 +318,88 @@ def test_driver_relskewstates_adaptive_relhaplo():
     for n in ped.dous:
         rh = ped.by_id(n).relhaplo
         assert ((rh > 0) & (rh < 1)).all()
+
+
+def test_selfing_coherence_selfgen0_reduces_to_standard():
+    """coherence_slot_ext at selfgen=0 (HBD unreachable: the coupling
+    funnels all mass to selfval 0) equals the standard-space per-slot
+    coherence on the same family."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cnf2freq_tpu.config import RuntimeParams
+    from cnf2freq_tpu.engine_ext import (coherence_slot_ext, ext_blocks,
+                                         extended_forward_backward)
+    from cnf2freq_tpu.hmm.emission import build_blocks
+    from cnf2freq_tpu.hmm.family import gather_family
+    from cnf2freq_tpu.hmm.forward_backward import forward_backward
+    from cnf2freq_tpu.hmm.probes import phase_coherence_slot
+    from cnf2freq_tpu.hmm.transition import (interval_recomb,
+                                             transition_eigenvalues)
+    from cnf2freq_tpu.hmm.emission import assemble_e_all
+
+    params = RuntimeParams()
+    ped = make_selfed_ped(M=6, seed=11)
+    # make the focal units selfgen 0 (gen=2) so HBD mass vanishes
+    for n in ped.dous:
+        ped.by_id(n).gen = 2
+    M = ped.num_markers
+    fb = gather_family(ped, list(ped.dous), 0, M - 1,
+                       mask_mode="reference")
+    fbj = fb.map(jnp.asarray)
+    dists = jnp.asarray(np.diff(ped.markerposes))
+    blocks_v, e_ext, _, _ = ext_blocks(fbj, CFG_SELF)
+    fbres = extended_forward_backward(e_ext, dists, fbj, CFG_SELF,
+                                      params)
+
+    # standard-space reference on the equivalent plain config
+    cfg_std = ModelConfig()
+    ped2 = make_selfed_ped(M=6, seed=11)
+    for n in ped2.dous:
+        ped2.by_id(n).gen = 2
+    ped2.config = cfg_std
+    fb2 = gather_family(ped2, list(ped2.dous), 0, M - 1,
+                        mask_mode="reference")
+    fb2j = fb2.map(jnp.asarray)
+    blocks_std = build_blocks(fb2j, cfg_std)
+    e_std = assemble_e_all(blocks_std, cfg_std)
+    fbres_std = forward_backward(e_std, dists, cfg_std, params,
+                                 use_pallas=False)
+    lam = transition_eigenvalues(
+        cfg_std, interval_recomb(cfg_std, params, dists))
+    for slot in (0, 1, 4):
+        got = np.asarray(coherence_slot_ext(fbres, blocks_v, fbj,
+                                            CFG_SELF, params, dists,
+                                            slot))
+        want = np.asarray(phase_coherence_slot(fbres_std, blocks_std,
+                                               fb2j, cfg_std, lam, slot))
+        # near-reduction, not exact: even at selfgen=0 the HBD states
+        # carry backward mass (the reference's extended build
+        # normalises adjustprobs over the full state vector too,
+        # cnF2freq.cpp:1602-1668), which reweights the per-shift
+        # factors at the 1e-4 level
+        np.testing.assert_allclose(got, want, atol=2e-3,
+                                   err_msg=f"slot {slot}")
+
+
+def test_driver_selfing_adaptive_relhaplo():
+    """Selfed-cohort iterations with per-slot extended-space coherence:
+    finite, in-bounds, relhaplo moves."""
+    from cnf2freq_tpu.driver import Driver
+    from cnf2freq_tpu.utils.simulate import simulate_selfed
+
+    ped = simulate_selfed(n_lines=4, n_markers=12, generations=4, seed=2)
+    before = {n: ped.by_id(n).relhaplo.copy() for n in ped.dous}
+    drv = Driver(ped)
+    assert drv.adaptive_relhaplo
+    drv.preprocess()
+    drv.iterate(early=True)
+    info = drv.iterate()
+    assert np.isfinite(info["hitnnn"])
+    moved = any(np.abs(ped.by_id(n).relhaplo - before[n]).max() > 1e-6
+                for n in ped.dous)
+    assert moved
+    for n in ped.dous:
+        rh = ped.by_id(n).relhaplo
+        assert ((rh > 0) & (rh < 1)).all()
