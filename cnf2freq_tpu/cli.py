@@ -71,6 +71,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="marker-blocked (checkpointed) scan for "
                    "chromosomes longer than this many markers: device "
                    "memory stays O(block) at any chromosome length")
+    p.add_argument("--model",
+                   choices=("f2", "ng2", "selfing", "relskewstates"),
+                   default="f2",
+                   help="model family (the reference's settings.h "
+                   "blocks, selected at runtime instead of recompile): "
+                   "f2 = 64-state three-generation default; ng2 = "
+                   "4-state two-generation (QTLMAS15 shape); selfing = "
+                   "HBD-extended selfed lines; relskewstates = "
+                   "coherence-bit extension")
     p.add_argument("--flipmode", choices=("native", "negshift"),
                    default="native",
                    help="phase-flip optimizer: joint per-marker solver "
@@ -99,17 +108,24 @@ def main(argv=None) -> int:
     if args.x64:
         jax.config.update("jax_enable_x64", True)
 
+    from .config import ModelConfig
     from .driver import Driver
     from .io import load_plantimpute
     from .io.outputs import (deserialize, output_ped, write_genotype_table,
                              write_haplotype_dump)
 
+    cfg = {"f2": ModelConfig(),
+           "ng2": ModelConfig(numgen=2),
+           "selfing": ModelConfig(selfing=True),
+           "relskewstates": ModelConfig(relskewstates=True)}[args.model]
+
     if args.mapfile and args.pedfile and args.genfile:
-        ped = load_plantimpute(args.mapfile, args.pedfile, args.genfile)
+        ped = load_plantimpute(args.mapfile, args.pedfile, args.genfile,
+                               config=cfg)
     elif args.samplefile and args.bimfile and args.hapfiles:
         from .io.haps import read_haps_full, read_sample
         from .pedigree import Pedigree
-        ped = Pedigree()
+        ped = Pedigree(cfg)
         samples = read_sample(args.samplefile)
         read_haps_full(ped, samples, args.bimfile, list(args.hapfiles))
         if args.famfile and args.bedfile:
@@ -127,15 +143,16 @@ def main(argv=None) -> int:
     elif args.merlinmap and args.merlinped:
         from .io.merlin import read_merlin_map, read_merlin_ped
         from .pedigree import Pedigree
-        ped = Pedigree()
+        ped = Pedigree(cfg)
         read_merlin_map(ped, args.merlinmap)
         read_merlin_ped(ped, args.merlinped)
     elif args.markerinfo and args.ccoeffped and args.ccoeffgen:
         from .io.ccoeff import load_ccoeff
-        ped = load_ccoeff(args.markerinfo, args.ccoeffped, args.ccoeffgen)
+        ped = load_ccoeff(args.markerinfo, args.ccoeffped, args.ccoeffgen,
+                          config=cfg)
     elif args.gigimapfile and args.gigipedfile:
         from .io.gigi import load_gigi
-        ped = load_gigi(args.gigimapfile, args.gigipedfile)
+        ped = load_gigi(args.gigimapfile, args.gigipedfile, cfg=cfg)
     else:
         print("need an input set: --mapfile/--pedfile/--genfile, "
               "--merlinmap/--merlinped, "

@@ -205,6 +205,11 @@ def make_jitted_scan_merged(cfg: ModelConfig, params: RuntimeParams,
     the device, so [NI, M]-shaped merged tensors cross the host link
     instead of [B, M, slots, ...] per-family ones (7-25x less transfer;
     the merge itself replaces the host scatter loops)."""
+    if cfg.numgen == 2:
+        # two compiled programs: the combined graph's XLA fusion search
+        # is pathologically slow (engine_ng2.make_jitted_scan_merged_ng2)
+        from .engine_ng2 import make_jitted_scan_merged_ng2
+        return make_jitted_scan_merged_ng2(cfg, params, num_individuals)
     from .parallel.collective import merge_haplos, merge_infprobs
 
     @jax.jit

@@ -397,3 +397,86 @@ def chromosome_scan_ng2(fb: FamilyBatch, dists: jnp.ndarray,
                       inf_accum=inf, pair=pair, turn_weight=turn_w,
                       coherence=coh, fw_pre=fbres.fw_pre, bw=fbres.bw,
                       fw_pre_f=fbres.fw_pre_f, bw_f=fbres.bw_f)
+
+
+def make_jitted_scan_merged_ng2(cfg: ModelConfig, params: RuntimeParams,
+                                num_individuals: int):
+    """The numgen==2 form of engine.make_jitted_scan_merged, split into
+    TWO compiled programs at the sweep/statistics boundary.
+
+    Each half compiles in seconds, but XLA's fusion search over the
+    combined program (the M-step scan feeding four statistics
+    consumers) takes 400-1500 s on the TPU toolchain (measured at
+    B=1024, M=192; an optimization_barrier made it WORSE).  The split
+    costs one extra dispatch per chunk — noise against a 25x compile
+    saving, and the device time per scan is ~0.1 ms anyway."""
+    from .engine import ScanResult
+    from .hmm.forward_backward import combined_loglik, forward_backward
+    from .hmm.probes import posterior_weight, turn_weights_fast
+    from .parallel.collective import merge_haplos, merge_infprobs
+
+    if not cfg.haplotyping:
+        raise NotImplementedError(
+            "the dedicated numgen==2 engine covers haplotyping configs")
+
+    @jax.jit
+    def part1(fb, dists, lut, ratemat):
+        dtype = fb.ms.dtype
+        B, M = fb.md.shape[0], fb.md.shape[2]
+        froot, P2, top, focal_attop = ng2_blocks(fb, cfg, dtype=dtype)
+        e = assemble_e_ng2(froot, P2, top, focal_attop, fb, cfg)
+        if jax.default_backend() != "cpu":
+            from .hmm.forward_backward import FBResult
+            from .ops.scan_v2 import fb_scan_v2
+            NS, S = cfg.numshifts, cfg.numtypes
+            R = -(-B // 128) * 128
+            e_x = jnp.pad(jnp.transpose(e, (1, 2, 3, 0)).reshape(
+                M, NS * S, B), ((0, 0), (0, 0), (0, R - B)))
+            fb2 = fb_scan_v2(e_x, dists, cfg, params, ratemat=ratemat)
+
+            def to_std(x):
+                return jnp.transpose(x[:, :, :B], (2, 0, 1)).reshape(
+                    B, M, NS, S)
+
+            def to_std_f(x):
+                return jnp.transpose(x[:, :, :B], (2, 0, 1))
+
+            fbres = FBResult(fw_pre=to_std(fb2.fw_pre),
+                             fw_post=to_std(fb2.fw_post),
+                             bw=to_std(fb2.bw),
+                             fw_pre_f=to_std_f(fb2.fw_pre_f),
+                             fw_post_f=to_std_f(fb2.fw_post_f),
+                             bw_f=to_std_f(fb2.bw_f))
+        else:
+            fbres = forward_backward(e, dists, cfg, params,
+                                     use_pallas=False, ratemat=ratemat)
+        total = combined_loglik(fbres, fb.shiftignore)
+        W = posterior_weight(fbres, total, fb.shiftignore)
+        b12 = haplo_stats_ng2(W, froot, P2, fb, cfg)
+        mask = haplo_update_mask_ng2(fb, cfg)
+        hb, hc = merge_haplos(b12, mask, fb.hw, fb.slot_ind,
+                              fb.descendants, lut, num_individuals)
+        turn_w = turn_weights_fast(fbres, fb, cfg)
+        return froot, P2, fbres, total, W, b12, mask, turn_w, hb, hc
+
+    @jax.jit
+    def part2(fb, W, froot, P2, lut):
+        inf, pair = infprob_stats_ng2(W, froot, P2, fb, cfg)
+        infm = merge_infprobs(inf, fb.slot_ind, fb.descendants, lut,
+                              num_individuals)
+        return inf, pair, infm
+
+    def run(fb, dists, lut, ratemat):
+        (froot, P2, fbres, total, W, b12, mask, turn_w,
+         hb, hc) = part1(fb, dists, lut, ratemat)
+        inf, pair, infm = part2(fb, W, froot, P2, lut)
+        B, M = fb.md.shape[0], fb.md.shape[2]
+        coh = jnp.full((B, M, cfg.numslots), 0.5, dtype=W.dtype)
+        res = ScanResult(total=total, haplo_b12=b12, haplo_mask=mask,
+                         inf_accum=inf, pair=pair, turn_weight=turn_w,
+                         coherence=coh, fw_pre=fbres.fw_pre,
+                         bw=fbres.bw, fw_pre_f=fbres.fw_pre_f,
+                         bw_f=fbres.bw_f)
+        return res, hb, hc, infm
+
+    return run

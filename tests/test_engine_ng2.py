@@ -294,3 +294,21 @@ def test_ng2_coherence_matches_bruteforce():
         want = (jmat[0, 0] + jmat[1, 1]) / jmat.sum()
         np.testing.assert_allclose(c_fast[b, m], want, rtol=1e-9,
                                    err_msg=f"slot {slot}")
+
+
+def test_cli_ng2_halfsib_demo(tmp_path):
+    """--model ng2 runs the reference's half-sib MERLIN fixture through
+    the 4-state engine end-to-end (the runtime form of recompiling
+    settings.h with the NUMGEN==2 block)."""
+    from cnf2freq_tpu.cli import main
+
+    out = tmp_path / "out.txt"
+    rc = main(["--merlinmap", "/root/reference/halfsibdemo.map",
+               "--merlinped", "/root/reference/halfsibdemo.ped",
+               "--model", "ng2", "--count", "2",
+               "--allblocks",
+               "--output", str(out),
+               "--dump", str(tmp_path / "dump.txt")])
+    assert rc == 0
+    text = out.read_text()
+    assert text.strip(), "genotype table written"
