@@ -222,6 +222,16 @@ class Driver:
             self._scan_cache[key] = make_jitted_updates(self.params)
         return self._scan_cache[key]
 
+    def _update_rows(self, M: int, lanes: int) -> int:
+        """Row-chunk size for the capped-GD update programs: their
+        51-step bisection with 15-point quadrature keeps ~15 unrolled
+        gradient evaluations of [rows, M, lanes] live concurrently, so
+        an unchunked cohort x whole-genome call exceeds HBM (measured
+        ResourceExhausted at NI~3000, M=960, lanes=4 on 16 GiB v5e).
+        Bound the live set to ~4M lanes per program."""
+        per_row = max(M * lanes, 1)
+        return max(256, min(1 << 20, 4_000_000 // per_row))
+
     def _jitted_relskew(self):
         key = ("relskew_ratio",)
         if key not in self._scan_cache:
@@ -1339,11 +1349,26 @@ class Driver:
 
         _, ui = self._jitted_updates()
         with self.tracer.span("device"):
-            res = ui(jnp.asarray(infacc), jnp.asarray(md),
-                     jnp.asarray(msu), jnp.asarray(prior),
-                     jnp.asarray(priorsure), jnp.asarray(has_prior),
-                     jnp.asarray(children), jnp.asarray(float(scalefactor)))
-            newp = np.asarray(res.newprob)
+            newp = np.empty_like(infacc)
+            hits_total = 0
+            rows = min(self._update_rows(M, lanes=4), NI)
+            sfj = jnp.asarray(float(scalefactor))
+            for b0 in range(0, NI, rows):
+                sl = slice(b0, min(b0 + rows, NI))
+
+                def pad(x):
+                    n = sl.stop - sl.start
+                    if n == rows:
+                        return jnp.asarray(x[sl])
+                    return jnp.asarray(np.pad(
+                        x[sl], [(0, rows - n)] + [(0, 0)] * (x.ndim - 1)))
+
+                res = ui(pad(infacc), pad(md), pad(msu), pad(prior),
+                         pad(priorsure), pad(has_prior), pad(children),
+                         sfj)
+                n = sl.stop - sl.start
+                newp[sl] = np.asarray(res.newprob)[:n]
+                hits_total += int(res.hits)
         live = infacc > 0
         for i, n in enumerate(ids):
             ind = ped.by_id(n)
@@ -1367,7 +1392,7 @@ class Driver:
                 take = anym & np.isfinite(bestp)
                 ind.markerdata[take, side] = best[take] + 1
                 ind.markersure[take, side] = 1.0 - bestp[take]
-        return int(res.hits)
+        return hits_total
 
     def _update_haploweights(self, ids, haplobase, haplocount,
                              scalefactor) -> int:
@@ -1404,16 +1429,29 @@ class Driver:
         active &= anyinfo
 
         uh, _ = self._jitted_updates()
-        res = uh(jnp.asarray(hw), jnp.asarray(haplobase),
-                 jnp.asarray(haplocount), jnp.asarray(md),
-                 jnp.asarray(msu), jnp.asarray(relterm),
-                 jnp.asarray(desc), jnp.asarray(children),
-                 jnp.asarray(lastinv), jnp.asarray(active),
-                 jnp.asarray(float(scalefactor)))
-        newhw = np.asarray(res.haploweight)
+        newhw = np.empty_like(hw)
+        hits_total = 0
+        rows = min(self._update_rows(M, lanes=1), NI)
+        sfj = jnp.asarray(float(scalefactor))
+        for b0 in range(0, NI, rows):
+            sl = slice(b0, min(b0 + rows, NI))
+
+            def pad(x):
+                n = sl.stop - sl.start
+                if n == rows:
+                    return jnp.asarray(x[sl])
+                return jnp.asarray(np.pad(
+                    x[sl], [(0, rows - n)] + [(0, 0)] * (x.ndim - 1)))
+
+            res = uh(pad(hw), pad(haplobase), pad(haplocount), pad(md),
+                     pad(msu), pad(relterm), pad(desc), pad(children),
+                     pad(lastinv), pad(active), sfj)
+            n = sl.stop - sl.start
+            newhw[sl] = np.asarray(res.haploweight)[:n]
+            hits_total += int(res.hits)
         for i, n in enumerate(ids):
             ped.by_id(n).haploweight[:] = newhw[i]
-        return int(res.hits)
+        return hits_total
 
     def line_origin_tables(self) -> Dict[int, np.ndarray]:
         """{focal id: [Mtot, 3]} posterior line-origin class tables (the

@@ -336,7 +336,7 @@ def test_driver_extended_state_space_gates():
     ped = simulate_f2(n_f2=3, n_markers=4, seed=1)
     ped.config = dataclasses.replace(ped.config, selfing=True)
     drv = Driver(ped)
-    assert drv.ext and not drv.adaptive_relhaplo
+    assert drv.ext and drv.adaptive_relhaplo
     with pytest.raises(NotImplementedError):
         Driver(ped, parity=True)
     drv.remap_distances = True
