@@ -342,3 +342,31 @@ def test_driver_extended_state_space_gates():
     drv.remap_distances = True
     with pytest.raises(NotImplementedError):
         drv.iterate()
+
+
+def test_update_row_chunking_equivalence():
+    """The row-chunked capped-GD update programs (the HBM-OOM fix for
+    cohort x whole-genome calls) produce exactly the unchunked results:
+    run the same cohort with the chunk cap forced tiny and compare every
+    updated parameter and the hitnnn count."""
+    results = []
+    for rows_cap in (None, 3):
+        ped = simulate_f2(n_f2=6, n_markers=12, missing_rate=0.2,
+                          error_rate=0.02, seed=17)
+        drv = Driver(ped)
+        drv.adaptive_relhaplo = False
+        if rows_cap is not None:
+            drv._update_rows = lambda M, lanes: rows_cap
+        drv.preprocess()
+        drv.iterate(early=True)
+        info = drv.iterate()
+        hw = np.stack([i.haploweight for i in ped.inds[1:]])
+        ms = np.stack([i.markersure for i in ped.inds[1:]])
+        md = np.stack([i.markerdata for i in ped.inds[1:]])
+        results.append((info["hitnnn"], hw, ms, md))
+    assert results[0][0] == results[1][0]
+    np.testing.assert_allclose(results[0][1], results[1][1],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(results[0][2], results[1][2],
+                               rtol=0, atol=0)
+    assert np.array_equal(results[0][3], results[1][3])
