@@ -83,7 +83,8 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
         from .engine_ng2 import chromosome_scan_ng2
         return chromosome_scan_ng2(fb, dists, cfg, params,
                                    with_infprobs=with_infprobs,
-                                   ratemat=ratemat)
+                                   ratemat=ratemat,
+                                   with_coherence=with_coherence)
     if use_scan_v2 is None:
         use_scan_v2 = _scan_v2_default(cfg)
     stats_dtype_ok_v2 = (fb.ms.dtype == jnp.float32

@@ -335,7 +335,8 @@ def infprob_stats_ng2(W, froot, P2, fb, cfg, ci: bool = False):
 
 def chromosome_scan_ng2(fb: FamilyBatch, dists: jnp.ndarray,
                         cfg: ModelConfig, params: RuntimeParams,
-                        with_infprobs: bool = True, ratemat=None):
+                        with_infprobs: bool = True, ratemat=None,
+                        with_coherence: bool = False):
     """One 4-state chromosome scan with the full ScanResult contract."""
     from .engine import ScanResult
     from .hmm.forward_backward import combined_loglik, forward_backward
@@ -392,7 +393,24 @@ def chromosome_scan_ng2(fb: FamilyBatch, dists: jnp.ndarray,
         inf = jnp.zeros((B, M, 3, 2, 2), dtype=dtype)
         pair = jnp.zeros((B, M, 2, 2), dtype=dtype)
     turn_w = turn_weights_fast(fbres, fb, cfg)
-    coh = jnp.full((B, M, cfg.numslots), 0.5, dtype=dtype)
+    if with_coherence:
+        # in-scan per-slot coherence (the mesh program consumes
+        # res.coherence; single-device drivers dispatch
+        # coherence_slot_ng2 per slot instead — same math)
+        from .hmm.probes import pair_coherence_from_ej
+        from .hmm.transition import (interval_recomb,
+                                     transition_eigenvalues)
+        lam = transition_eigenvalues(
+            cfg, interval_recomb(cfg, params, dists,
+                                 ratemat=ratemat)).astype(dtype)
+        cols = []
+        for slot in range(cfg.numslots):
+            e_j = phase_resolved_emission_ng2(froot, P2, top,
+                                              focal_attop, fb, cfg, slot)
+            cols.append(pair_coherence_from_ej(fbres, e_j, lam))
+        coh = jnp.stack(cols, axis=-1)
+    else:
+        coh = jnp.full((B, M, cfg.numslots), 0.5, dtype=dtype)
     return ScanResult(total=total, haplo_b12=b12, haplo_mask=mask,
                       inf_accum=inf, pair=pair, turn_weight=turn_w,
                       coherence=coh, fw_pre=fbres.fw_pre, bw=fbres.bw,

@@ -312,3 +312,50 @@ def test_cli_ng2_halfsib_demo(tmp_path):
     assert rc == 0
     text = out.read_text()
     assert text.strip(), "genotype table written"
+
+
+def test_ng2_driver_under_mesh_matches_single_device():
+    """The 4-state driver under a virtual device mesh (shard_map scan +
+    psum merges, in-scan coherence) equals single-device exactly."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    from cnf2freq_tpu.driver import Driver
+    from cnf2freq_tpu.parallel import make_mesh
+
+    def build():
+        rng = np.random.default_rng(7)
+        M, K = 12, 8
+        ped = Pedigree(CFG2)
+        ped.markerposes = np.arange(M) * 2.0
+        ped.chromstarts = [0, M]
+        names = ["s", "dA"] + [f"k{i}" for i in range(K)]
+        by = {nm: ped.getind(nm) for nm in names}
+        for i in range(K):
+            by[f"k{i}"].pars = (by["s"].n, by["dA"].n)
+            by[f"k{i}"].gen = 2
+            ped.dous.append(by[f"k{i}"].n)
+        ped.freeze()
+        for ind in ped.inds[1:]:
+            ind.empty = False
+            ind.markerdata[:] = rng.integers(1, 3, (M, 2))
+            ind.markersure[:] = 0.01
+            ind.haploweight[:] = 0.5
+        for ind in ped.inds[1:]:
+            ped.fixtrees(ind.n)
+        return ped
+
+    def run(mesh):
+        ped = build()
+        drv = Driver(ped, mesh=mesh)
+        drv.preprocess()
+        info = drv.iterate(early=False)
+        return info, np.stack([ped.by_id(n).haploweight
+                               for n in ped.dous])
+
+    n = min(len(jax.devices()), 8)
+    i0, h0 = run(make_mesh(n))
+    i1, h1 = run(None)
+    np.testing.assert_allclose(h0, h1, rtol=1e-9, atol=1e-11)
+    assert i0["hitnnn"] == i1["hitnnn"]
