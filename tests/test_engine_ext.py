@@ -403,3 +403,20 @@ def test_driver_selfing_adaptive_relhaplo():
     for n in ped.dous:
         rh = ped.by_id(n).relhaplo
         assert ((rh > 0) & (rh < 1)).all()
+
+
+@pytest.mark.parametrize("model", ["selfing", "relskewstates"])
+def test_cli_extended_models_demo(model, tmp_path):
+    """--model selfing / relskewstates drive the extended-state engines
+    end-to-end through the CLI on the demo dataset."""
+    from cnf2freq_tpu.cli import main
+
+    out = tmp_path / "out.txt"
+    rc = main(["--mapfile", "/root/reference/demoplantimpute.map",
+               "--pedfile", "/root/reference/demoplantimpute.ped",
+               "--genfile", "/root/reference/demoplantimpute.gen",
+               "--model", model, "--count", "1",
+               "--output", str(out),
+               "--dump", str(tmp_path / "dump.txt")])
+    assert rc == 0
+    assert out.read_text().strip()
