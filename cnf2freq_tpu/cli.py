@@ -72,12 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
                    "chromosomes longer than this many markers: device "
                    "memory stays O(block) at any chromosome length")
     p.add_argument("--model",
-                   choices=("f2", "ng2", "selfing", "relskewstates"),
+                   choices=("f2", "ng2", "nohaplo", "selfing",
+                            "relskewstates"),
                    default="f2",
                    help="model family (the reference's settings.h "
                    "blocks, selected at runtime instead of recompile): "
                    "f2 = 64-state three-generation default; ng2 = "
-                   "4-state two-generation (QTLMAS15 shape); selfing = "
+                   "4-state two-generation (QTLMAS15 shape); nohaplo = "
+                   "4-state F2 with no haplotyping (settings.h:60-73, "
+                   "pure posterior computation); selfing = "
                    "HBD-extended selfed lines; relskewstates = "
                    "coherence-bit extension")
     p.add_argument("--flipmode", choices=("native", "negshift"),
@@ -116,6 +119,8 @@ def main(argv=None) -> int:
 
     cfg = {"f2": ModelConfig(),
            "ng2": ModelConfig(numgen=2),
+           "nohaplo": ModelConfig(numgen=2, haplotyping=False,
+                                  relskews=False, do_infprobs=False),
            "selfing": ModelConfig(selfing=True),
            "relskewstates": ModelConfig(relskewstates=True)}[args.model]
 

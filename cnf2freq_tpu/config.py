@@ -147,19 +147,28 @@ class ModelConfig:
     # parent first and its ancestors after.  For numgen==3:
     #   0=focal, 1=par0, 2=gp00, 3=gp01, 4=par1, 5=gp10, 6=gp11
     @property
+    def deep_walk(self) -> bool:
+        """No-haplotyping builds walk one pedigree level deeper than
+        their state space: ``attopnow = (genwidth == HAPLOTYPING)``
+        stops at genwidth 0, past the parents into the grandparents
+        (cnF2freq.cpp:1120, 1075-1120) — so a numgen==2 no-haplotyping
+        unit still spans 7 family slots."""
+        return self.numgen == 2 and not self.haplotyping
+
+    @property
     def numslots(self) -> int:
-        return (1 << self.numgen) - 1
+        return 7 if self.deep_walk else (1 << self.numgen) - 1
 
     @property
     def parent_slot_span(self) -> int:
         """Slots occupied by one parent's branch (parent + its ancestors)."""
-        return (1 << (self.numgen - 1)) - 1
+        return 3 if self.deep_walk else (1 << (self.numgen - 1)) - 1
 
     def parent_slot(self, k: int) -> int:
         return 1 + k * self.parent_slot_span
 
     def grandparent_slot(self, k: int, j: int) -> int:
-        assert self.numgen == 3
+        assert self.numgen == 3 or self.deep_walk
         return self.parent_slot(k) + 1 + j
 
     @cached_property
@@ -169,7 +178,7 @@ class ModelConfig:
         for k in range(2):
             p = self.parent_slot(k)
             out[p] = 0
-            if self.numgen == 3:
+            if self.numgen == 3 or self.deep_walk:
                 out[p + 1] = p
                 out[p + 2] = p
         return tuple(out)

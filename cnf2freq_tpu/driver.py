@@ -68,8 +68,17 @@ class Driver:
         self.params = params or RuntimeParams()
         self.state = DriverState(scalefactor=self.params.scalefactor)
         self.dtype = dtype
-        self.pair_tables: Dict[int, np.ndarray] = {}
+        self._pair_tables: Dict[int, np.ndarray] = {}
+        # pair tables produced by the resident fast path stay on device
+        # until someone reads them (they are reporters, not iteration
+        # state); entries: (ids, lo, Mc, device pair tensor)
+        self._pair_pending: list = []
         self._scan_cache = {}
+        # Device-resident iteration (resident.py): accumulate, flip and
+        # update on device; only final state crosses the host link.
+        # None = auto (on for the native-flip, unmeshed, unblocked,
+        # non-parity path — the production default); True/False force.
+        self.resident = None
         # Strict reference-parity mode: reproduce the compiled reference
         # binary's trajectory (refbaseline/) — reference fixtrees path
         # masks, inert relhaplo, and run() skipping iteration 0 the way
@@ -129,6 +138,30 @@ class Driver:
         # no-op — swap in a Tracer(sink=...) for JSONL telemetry
         from .utils.tracing import NullTracer
         self.tracer = NullTracer()
+
+    @property
+    def pair_tables(self) -> Dict[int, np.ndarray]:
+        """Ordered-genotype posterior tables {focal id: [M, 2, 2]}.
+
+        Reading materialises any device-pending tables from the
+        resident fast path (one readback per pending chunk)."""
+        self._flush_pair_tables()
+        return self._pair_tables
+
+    def _flush_pair_tables(self):
+        for ids, lo, Mc, pair_dev in self._pair_pending:
+            pair = np.asarray(pair_dev)
+            for b, n in enumerate(ids):
+                tab = self._pair_tables.setdefault(
+                    n, np.zeros((self.ped.num_markers, 2, 2)))
+                tab[lo:lo + Mc] = pair[b, :Mc]
+        self._pair_pending.clear()
+
+    def _use_resident(self) -> bool:
+        if self.resident is not None:
+            return bool(self.resident)
+        return (self.mesh is None and self.marker_block is None and
+                not self.parity and self.flip_mode == "native")
 
     def _jitted_scan(self):
         key = self.dtype
@@ -251,8 +284,11 @@ class Driver:
                 ped.count_descendants()
             for ind in ped.inds[1:]:
                 ped.fixtrees(ind.n)       # sets founder flags
-            with self.tracer.span("variances"):
-                self._compute_variances()
+            if self.cfg.haplotyping:
+                # variances feed the phase-anchor choice (lockhaplos);
+                # the no-haplotyping family has no phases to anchor
+                with self.tracer.span("variances"):
+                    self._compute_variances()
             with self.tracer.span("lockhaplos"):
                 for ind in ped.inds[1:]:
                     if self.cfg.haplotyping and ind.haploweight is not None:
@@ -298,6 +334,12 @@ class Driver:
         @jax.jit
         def run(fb):
             cfg = self.cfg
+            if cfg.deep_walk:
+                # fixparents okvals with flag2 in {0,1} pinning the focal
+                # interpretation (cnF2freq.cpp:1409-1428)
+                from .engine_nohaplo import nohaplo_feasibility
+                return nohaplo_feasibility(fb, cfg, ci=True,
+                                           dtype=fb.ms.dtype)
             if cfg.numgen == 2:
                 # the block builders evaluate the embedded 7-slot view
                 from .engine_ng2 import embed7, ng3_equiv
@@ -591,9 +633,22 @@ class Driver:
         ind_index = {n: i for i, n in enumerate(ids)}
         M = ped.num_markers
         NI = len(ids)
-        haplobase = np.zeros((NI, M))
-        haplocount = np.zeros((NI, M))
-        infacc = np.zeros((NI, M, 2, 2))
+        need_coh = self.adaptive_relhaplo and (cfg.relskews or
+                                               cfg.relskewstates)
+        fast = self._use_resident()
+        if fast:
+            # device-resident accumulators (resident.py): scan partials,
+            # flips and parameter updates never leave the device
+            from .resident import ResidentAccum
+            accum = ResidentAccum(NI, M, self.dtype, with_coh=need_coh,
+                                  progs=self._scan_cache)
+            self._pair_pending.clear()
+            haplobase = haplocount = infacc = None
+        else:
+            accum = None
+            haplobase = np.zeros((NI, M))
+            haplocount = np.zeros((NI, M))
+            infacc = np.zeros((NI, M, 2, 2))
         coh_num = np.zeros((NI, M))
         coh_den = np.zeros((NI, M))
         winners: List[Optional[FlipCandidate]] = []
@@ -683,22 +738,33 @@ class Driver:
                 with self.tracer.span("scatter"):
                     sb = fbatch.slot_ind[:nb]
                     desc = fbatch.descendants[:nb].astype(np.float64)
-                    self._store_pair_tables(
-                        chunk, lo, np.asarray(pair_t)[:nb, :Mc])
-                    # accumulators were merged on device (segment-sum per
-                    # individual row, engine.make_jitted_scan_merged);
-                    # only [NI, M]-shaped partials cross the host link
-                    haplobase[:, lo:hi] += np.asarray(
-                        hb_p, dtype=np.float64)[:, :Mc]
-                    haplocount[:, lo:hi] += np.asarray(
-                        hc_p, dtype=np.float64)[:, :Mc]
-                    infacc[:, lo:hi] += np.asarray(
-                        inf_p, dtype=np.float64)[:, :Mc]
+                    if fast:
+                        # partials fold into device buffers; pair tables
+                        # stay on device until a reporter reads them
+                        self._pair_pending.append(
+                            (list(chunk), lo, Mc, pair_t))
+                        accum.add(lo, Mc, hb_p, hc_p, inf_p)
+                    else:
+                        self._store_pair_tables(
+                            chunk, lo, np.asarray(pair_t)[:nb, :Mc])
+                        # accumulators were merged on device (segment-sum
+                        # per individual row, make_jitted_scan_merged);
+                        # only [NI, M] partials cross the host link
+                        haplobase[:, lo:hi] += np.asarray(
+                            hb_p, dtype=np.float64)[:, :Mc]
+                        haplocount[:, lo:hi] += np.asarray(
+                            hc_p, dtype=np.float64)[:, :Mc]
+                        infacc[:, lo:hi] += np.asarray(
+                            inf_p, dtype=np.float64)[:, :Mc]
                 if self.remap_distances:
                     self._accumulate_recomb(nb, Mc, fbj, dj, res, rj,
                                             remap_acc)
-                if self.adaptive_relhaplo and (self.cfg.relskews or
-                                               self.cfg.relskewstates):
+                if need_coh and fast:
+                    with self.tracer.span("coherence"):
+                        num_p, den_p = self._coherence_partials(
+                            fbj, dj, rj, res, lutj, Mc, NI)
+                        accum.add_coh(lo, Mc, num_p, den_p)
+                elif need_coh:
                     with self.tracer.span("coherence"):
                         from .updates.scatter import scatter_coherence
                         if self.ext:
@@ -744,13 +810,13 @@ class Driver:
                             scatter_coherence(sb, desc, lo, cohr,
                                               coh_num, coh_den,
                                               ind_index)
-                if not early:
+                if not early and cfg.haplotyping:
                     # native mode keeps the [nb, M, T] chunks ON DEVICE:
                     # the flip scorer consumes them there and only [B, k]
                     # top-marker slices cross the host link
                     weight_parts.append(turn_w[:nb, :Mc])
 
-            if not early:
+            if not early and cfg.haplotyping:
                 with self.tracer.span("flips"):
                     if self.parity:
                         # reference-exact DOTOULBAR pipeline
@@ -796,18 +862,25 @@ class Driver:
                         with self.tracer.span("optimise"):
                             winner = self._optimise_flips(
                                 dous, lo, hi, weight_parts, haplobase,
-                                haplocount, ind_index, c)
+                                haplocount, ind_index, c, accum=accum)
                     winners.append(winner)
                     if winner is not None:
                         apply_flips(ped, winner, c, haplobase, haplocount,
                                     ind_index)
+                        if fast:
+                            accum.flip_rows(
+                                [(ind_index[n], m)
+                                 for n, m in winner.flips
+                                 if n in ind_index], hi)
             else:
                 winners.append(None)
             if self.remap_distances:
                 self._apply_recomb(lo, hi, remap_acc)
 
-        if self.adaptive_relhaplo and (self.cfg.relskews or
-                                       self.cfg.relskewstates):
+        if need_coh:
+            if fast:
+                coh_num = np.asarray(accum.cnum, dtype=np.float64)
+                coh_den = np.asarray(accum.cden, dtype=np.float64)
             got = coh_den > 0
             vals = np.where(got, coh_num / np.maximum(coh_den, 1), 0.5)
             for n, i in ind_index.items():
@@ -819,12 +892,19 @@ class Driver:
         any_inv = any(w is not None for w in winners)
         sf = 0.0 if any_inv else st.scalefactor
         hits = 0
-        with self.tracer.span("updates"):
-            with self.tracer.span("infprobs"):
-                hits += self._process_infprobs(ids, infacc, sf)
-            with self.tracer.span("haploweights"):
-                hits += self._update_haploweights(ids, haplobase,
-                                                  haplocount, sf)
+        if cfg.haplotyping:
+            with self.tracer.span("updates"):
+                if fast:
+                    hits += self._updates_resident(ids, accum, sf)
+                else:
+                    with self.tracer.span("infprobs"):
+                        hits += self._process_infprobs(ids, infacc, sf)
+                    with self.tracer.span("haploweights"):
+                        hits += self._update_haploweights(
+                            ids, haplobase, haplocount, sf)
+        # (no-haplotyping: every update hook in the reference sits behind
+        # `if (!full && HAPLOTYPING)` — an iteration is pure posterior
+        # computation, cnF2freq.cpp:5554)
         if swap_cands:
             # one genome-wide dominance pass, after the updates — the
             # reference's parentswapnegshifts placement
@@ -844,12 +924,96 @@ class Driver:
     # -- scatter helpers ------------------------------------------------
     def _store_pair_tables(self, dous, lo, pair):
         for b, n in enumerate(dous):
-            tab = self.pair_tables.setdefault(
+            tab = self._pair_tables.setdefault(
                 n, np.zeros((self.ped.num_markers, 2, 2)))
             tab[lo:lo + pair.shape[1]] = pair[b]
 
     # (movehaplos/moveinfprobs scatter live in updates/scatter.py as
     # batched numpy; loop-form parity pinned by tests/test_scatter.py)
+
+    # -- resident fast path --------------------------------------------
+    def _coherence_partials(self, fbj, dj, rj, res, lutj, Mc, NI):
+        """One dispatch: all-slot adjacent-phase coherence scattered onto
+        [NI, Mp] num/den partials on device (resident.py)."""
+        if self.ext:
+            from .resident import make_scatter_coh_ext
+            ns = 1 if self.cfg.relskewstates else self.cfg.numslots
+            key = ("coh_scatter_ext", NI, ns)
+            if key not in self._scan_cache:
+                self._scan_cache[key] = make_scatter_coh_ext(
+                    self.cfg, NI, ns)
+            return self._scan_cache[key](res.coherence, fbj.slot_ind,
+                                         fbj.descendants, lutj, Mc=Mc)
+        from .resident import make_coherence_all
+        key = ("coh_all", NI)
+        if key not in self._scan_cache:
+            self._scan_cache[key] = make_coherence_all(self.cfg,
+                                                       self.params, NI)
+        return self._scan_cache[key](fbj, dj, res.fw_pre, res.bw,
+                                     res.fw_pre_f, res.bw_f, rj, lutj,
+                                     Mc=Mc)
+
+    def _updates_resident(self, ids, accum, scalefactor) -> int:
+        """Device-path parameter updates: processinfprobs then
+        updatehaploweights straight from the resident accumulators
+        (cnF2freq.cpp:4179-4323, 4533-4734); only the final
+        per-individual state and change masks cross the host link."""
+        import jax.numpy as jnp
+
+        from .resident import (gather_cohort_static,
+                               make_resident_updates, stack_cohort_state)
+        ped, cfg = self.ped, self.cfg
+        NI, M = accum.NI, accum.Mtot
+        C = ped.num_chromosomes
+        ranges = tuple(ped.chromosome_range(c) for c in range(C))
+        skey = ("resident_static",)
+        if skey not in self._scan_cache:
+            self._scan_cache[skey] = gather_cohort_static(ped, ids,
+                                                          self.dtype)
+        static = self._scan_cache[skey]
+        ukey = ("resident_updates", NI, M, ranges)
+        if ukey not in self._scan_cache:
+            self._scan_cache[ukey] = make_resident_updates(
+                cfg, self.params, ranges, NI, M)
+        run_haplo, run_inf = self._scan_cache[ukey]
+
+        with self.tracer.span("stack"):
+            md, ms, hw, rh = stack_cohort_state(ped, ids, self.dtype,
+                                                cfg.relskews)
+            lastinv_c = np.stack(
+                [[ped.by_id(n).lastinved[c] != -1 for c in range(C)]
+                 for n in ids]).astype(bool)
+        sfj = jnp.asarray(np.dtype(self.dtype).type(scalefactor))
+        with self.tracer.span("device"):
+            mdj, msj = jnp.asarray(md), jnp.asarray(ms)
+            # infprobs first: the haploweight similarity damping reads
+            # the genotypes processinfprobs just updated (the reference's
+            # call order, cnF2freq.cpp:6344-6368)
+            newmd, newms, take, i_hits = run_inf(
+                accum.inf, mdj, msj, static.prior, static.priorsure,
+                static.has_prior, static.children, static.eligible, sfj)
+            newhw, active, h_hits = run_haplo(
+                jnp.asarray(hw), accum.hb, accum.hc, newmd, newms,
+                jnp.asarray(rh), static.descendants, static.children,
+                jnp.asarray(lastinv_c), sfj)
+            newmd_h = np.asarray(newmd)
+            newms_h = np.asarray(newms, dtype=np.float64)
+            take_h = np.asarray(take)
+            newhw_h = np.asarray(newhw, dtype=np.float64)
+            act_h = np.asarray(active)
+            hits = int(i_hits) + int(h_hits)
+        with self.tracer.span("writeback"):
+            # masked writeback: untouched lanes keep their full-precision
+            # host values (the device pipeline may run at f32)
+            for i, n in enumerate(ids):
+                ind = ped.by_id(n)
+                a = act_h[i]
+                ind.haploweight[a] = newhw_h[i][a]
+                t = take_h[i]
+                if t.any():
+                    ind.markerdata[t] = newmd_h[i][t]
+                    ind.markersure[t] = newms_h[i][t]
+        return hits
 
     def _accumulate_recomb(self, nb, Mc, fbj, dj, res, rj, acc):
         """Per-chunk accumulation of posterior recombination expectations
@@ -944,7 +1108,7 @@ class Driver:
 
     # -- flip optimisation ----------------------------------------------
     def _optimise_flips(self, dous, lo, hi, weight_parts, haplobase,
-                        haplocount, ind_index, chrom
+                        haplocount, ind_index, chrom, accum=None
                         ) -> Optional[FlipCandidate]:
         """Native phase-flip optimisation (the DOTOULBAR=1 replacement).
 
@@ -956,12 +1120,14 @@ class Driver:
         full — the reference solves the complete per-marker WCNF over
         all families (cnF2freq.cpp:5978-6084)."""
         scored = self._score_turns(dous, lo, hi, weight_parts, haplobase,
-                                   haplocount, ind_index, chrom)
+                                   haplocount, ind_index, chrom,
+                                   accum=accum)
         return self._solve_scored(dous, lo, hi, scored, chrom)
 
     def _score_turns(self, dous, lo, hi, weight_parts, haplobase,
                      haplocount, ind_index, chrom, marker_offset=0,
-                     m_span=None, skew_rows=None, halo=False):
+                     m_span=None, skew_rows=None, halo=False,
+                     accum=None):
         """Device scoring of one marker span: returns host
         (idx_global, mg, gains [B, k], S_top [B, k, P]).  weight_parts:
         device [Bi, m_span, T] chunks (batch chunks); marker_offset maps
@@ -985,6 +1151,10 @@ class Driver:
                            for n in dous])
             if skew_rows is not None:
                 hb, hc = skew_rows
+            elif accum is not None:
+                # device views of the resident accumulators (no readback)
+                rows = np.array([ind_index[n] for n in dous])
+                hb, hc = accum.rows_slice(rows, s0, M)
             else:
                 rows = np.array([ind_index[n] for n in dous])
                 hb = haplobase[rows][:, s0:s0 + M]

@@ -79,6 +79,13 @@ def chromosome_scan(fb: FamilyBatch, dists: jnp.ndarray, cfg: ModelConfig,
                                    n_variants=n_variants,
                                    with_coherence=with_coherence)
     if cfg.numgen == 2:
+        if not cfg.haplotyping:
+            # no-haplotyping family: 4 states, deep 7-slot walk
+            # (engine_nohaplo.py; settings.h:60-73)
+            from .engine_nohaplo import chromosome_scan_nohaplo
+            return chromosome_scan_nohaplo(fb, dists, cfg, params,
+                                           with_infprobs=with_infprobs,
+                                           ratemat=ratemat)
         # dedicated 4-state engine (QTLMAS15-shape small models)
         from .engine_ng2 import chromosome_scan_ng2
         return chromosome_scan_ng2(fb, dists, cfg, params,
@@ -207,6 +214,10 @@ def make_jitted_scan_merged(cfg: ModelConfig, params: RuntimeParams,
     instead of [B, M, slots, ...] per-family ones (7-25x less transfer;
     the merge itself replaces the host scatter loops)."""
     if cfg.numgen == 2:
+        if not cfg.haplotyping:
+            from .engine_nohaplo import make_jitted_scan_merged_nohaplo
+            return make_jitted_scan_merged_nohaplo(cfg, params,
+                                                   num_individuals)
         # two compiled programs: the combined graph's XLA fusion search
         # is pathologically slow (engine_ng2.make_jitted_scan_merged_ng2)
         from .engine_ng2 import make_jitted_scan_merged_ng2

@@ -38,6 +38,9 @@ class ScanAccumulators:
     homozyg: Dict[int, np.ndarray]          # [M, 2]
     factors: Dict[int, np.ndarray]          # per dous: [numshifts] logliks
     probes: Dict[Tuple[int, int, int, int, int], float]  # (n,m,g,f2,s)->val
+    # GENOSPROBE sidevals (collect_probes only): (n,m,g,side,mv)->val
+    sidevals: Dict[Tuple[int, int, int, int, int], float] = \
+        dataclasses.field(default_factory=dict)
 
 
 def relmaps(ped: Pedigree, n: int):
@@ -120,7 +123,14 @@ class GoldenDoit:
         ind = ped.by_id(n)
         lo, hi = ped.chromosome_range(chrom)
         shiftignore, flag2ignore = ped.fixtrees(n)
-        relmap, relmapshift, reltree, ordered = relmaps(ped, n)
+        nohaplo = not cfg.haplotyping
+        if nohaplo:
+            # !HAPLOTYPING doit: reltree cleared, flag2ignore zeroed,
+            # probes run flag2=-1 only, no update hooks at all
+            # (cnF2freq.cpp:5318-5345, 5554)
+            relmap, relmapshift, reltree, ordered = {}, {}, [], []
+        else:
+            relmap, relmapshift, reltree, ordered = relmaps(ped, n)
 
         shiftend = cfg.numshifts
         if ind.gen < 2:
@@ -159,9 +169,13 @@ class GoldenDoit:
                         continue
                     if factor - factors[s] > 40:
                         continue
-                    for flag2 in range(cfg.numpaths):
-                        if ignoreflag2(ped, flag2, g, s, m, flag2ignore,
-                                       relmap, relmapshift):
+                    flag2_range = (-1,) if nohaplo \
+                        else range(cfg.numpaths)
+                    for flag2 in flag2_range:
+                        if flag2 >= 0 and \
+                                ignoreflag2(ped, flag2, g, s, m,
+                                            flag2ignore, relmap,
+                                            relmapshift):
                             continue
                         val = eng.probe(ind, fbs[s], lo, q, g, flag2, s) \
                             - factor
@@ -170,6 +184,26 @@ class GoldenDoit:
                         val = math.exp(val)
                         if collect_probes:
                             acc.probes[(n, m, g, flag2, s)] = val
+
+                        if nohaplo:
+                            # the reference computes GENOSPROBE sidevals
+                            # under DOINFPROBS but consumes them only
+                            # behind the HAPLOTYPING guard
+                            # (cnF2freq.cpp:5554-5566); collect them for
+                            # the genotype-share pinning tests
+                            if collect_probes:
+                                for side in range(2):
+                                    for mv in (1, 2):
+                                        sv_ = eng.trackpossible(
+                                            ind, GENOSPROBE, 0, mv, 0.0,
+                                            m, g * 2 + side,
+                                            flag2 ^ side, s,
+                                            1 << (cfg.numgen - 1))
+                                        key = (n, m, g, side, mv)
+                                        acc.sidevals[key] = \
+                                            acc.sidevals.get(key, 0.0) \
+                                            + sv_
+                            continue
 
                         sidevals = np.zeros((2, 2))
                         homo = np.zeros(2)
@@ -209,6 +243,10 @@ class GoldenDoit:
                         for mv in (1, 2):
                             homozyg_m[mv - 1] += val * homo[mv - 1] / svs[0]
 
+            if nohaplo:
+                # no movement under !HAPLOTYPING: reltree is empty and
+                # the update hooks never fired (cnF2freq.cpp:5895-5902)
+                continue
             # accumulator movement (cnF2freq.cpp:5875-5903)
             tot = sum(eng.hooks.infprobs.get((n, 0, mv), 0.0)
                       for mv in set(k[2] for k in eng.hooks.infprobs

@@ -157,10 +157,12 @@ def gather_family(ped: Pedigree, focal_ids: Sequence[int],
             ms[b, s] = ind.markersure[sl]
             hw[b, s] = ind.haploweight[sl]
             # grandparent slots are tops by depth; others by founder
-            # flag; two-generation units stop at the parents
+            # flag; two-generation haplotyping units stop at the
+            # parents, no-haplotyping ones at the grandparents
             # (attopnow: genwidth == haplotyping, cnF2freq.cpp:1095)
             is_gp = s not in (0, cfg.parent_slot(0), cfg.parent_slot(1))
-            attop[b, s] = ind.founder or (is_gp and cfg.numgen == 3) \
+            attop[b, s] = ind.founder \
+                or (is_gp and (cfg.numgen == 3 or cfg.deep_walk)) \
                 or (cfg.numgen == 2 and s != 0 and cfg.haplotyping)
         # duplicate-member slot groups (fixtrees relmap members with
         # multiple flag2 bits; ignoreflag2 rule 2, cnF2freq.cpp:3478):

@@ -190,7 +190,7 @@ class Pedigree:
         for k in range(2):
             p = ind.pars[k]
             out[cfg.parent_slot(k)] = p
-            if p and cfg.numgen == 3:
+            if p and (cfg.numgen == 3 or cfg.deep_walk):
                 par = self.by_id(p)
                 for j in range(2):
                     out[cfg.grandparent_slot(k, j)] = par.pars[j]

@@ -1,0 +1,386 @@
+"""Device-resident iteration state: accumulate, flip, and update on device.
+
+The classic ``Driver.iterate`` kept per-iteration accumulators
+(``haplobase``/``haplocount``/``infprobs``/coherence) in host numpy and
+moved [NI, M]-shaped tensors across the host link several times per
+iteration — readbacks after every scan chunk, re-uploads into the
+capped-gradient update programs, one dispatch per coherence slot.  On a
+directly-attached host that is noise; over a high-latency tunnel it
+dominates the wall-clock (measured budget in docs/PERFORMANCE.md).
+
+This module keeps the whole accumulate -> flip -> update chain on
+device; per iteration only small control tensors cross the link:
+
+* scan partials are added into persistent [NI, Mtot] device buffers with
+  donated-buffer slice-add programs (no readback);
+* adjacent-phase coherence runs as ONE program for all family slots
+  (serialised internally so only one slot's temporaries are live — the
+  concurrent all-slot form exceeded HBM at B=1000) and scatters straight
+  into device num/den buffers;
+* phase flips (negshifter, cnF2freq.cpp:3437-3460) mirror the host
+  haploweight inversion onto the device accumulators;
+* the capped-gradient updates (updatehaploweights / processinfprobs,
+  cnF2freq.cpp:4179-4323, 4533-4734) consume the device buffers directly
+  and return the new per-individual state, which is read back once per
+  iteration to keep the host ``Pedigree`` authoritative between
+  iterations.
+
+Exactness: every program reuses the same jitted kernels as the host
+path (collective merges, relskew ratio, cappedgd), and f64 accumulation
+adds the same values in the same order — the resident path is pinned
+equal to the classic path by tests/test_resident.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelConfig, RuntimeParams
+
+MAX_FLIPS = 64   # padded per-(chromosome, winner) flip capacity
+
+
+def _donate(*argnums):
+    """Buffer donation for the accumulate programs (in-place updates on
+    device); the CPU backend does not implement donation and would warn
+    on every call."""
+    return argnums if jax.default_backend() != "cpu" else ()
+
+
+def _poison(tree, scalar):
+    """Attach a zero-valued data dependency on ``scalar`` to every float
+    leaf of ``tree`` — forces XLA to schedule the consumer after the
+    producer of ``scalar`` (bounds peak memory of the slot loop)."""
+    z = (scalar * 0).astype(jnp.float32)
+
+    def leaf(x):
+        if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype,
+                                                        jnp.floating):
+            return x + z.astype(x.dtype)
+        return x
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+class ResidentAccum:
+    """Per-iteration accumulators living on device.
+
+    Buffers: hb/hc [NI, Mtot], inf [NI, Mtot, 2, 2], cnum/cden
+    [NI, Mtot].  ``add`` folds one chunk's merged scan partials in at a
+    chromosome offset; ``flip_rows`` applies the phase-flip inversion to
+    hb; ``rows_slice`` hands the flip scorer device views."""
+
+    def __init__(self, NI: int, Mtot: int, dtype, with_coh: bool,
+                 progs: Dict = None):
+        self.NI, self.Mtot = NI, Mtot
+        self.dtype = dtype
+        self.with_coh = with_coh
+
+        def z():
+            # distinct buffers: donation forbids passing one device
+            # buffer as two donated operands
+            return jnp.zeros((NI, Mtot), dtype=dtype)
+        self.hb = z()
+        self.hc = z()
+        self.inf = jnp.zeros((NI, Mtot, 2, 2), dtype=dtype)
+        self.cnum = z() if with_coh else None
+        self.cden = z() if with_coh else None
+        # program cache OWNED BY THE CALLER (Driver._scan_cache): a
+        # fresh accum is built every iteration, and per-instance jits
+        # would retrace (and on a remote toolchain re-lower) every call
+        self._progs: Dict = progs if progs is not None else {}
+
+    # -- slice-add ----------------------------------------------------
+    def _add_prog(self, Mc: int):
+        key = ("resident_add", self.NI, self.Mtot, str(self.dtype), Mc)
+        if key not in self._progs:
+            @partial(jax.jit, donate_argnums=_donate(0, 1, 2))
+            def add(hb, hc, inf, hb_p, hc_p, inf_p, lo):
+                def upd(buf, part):
+                    cur = jax.lax.dynamic_slice_in_dim(
+                        buf, lo, Mc, axis=1)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        buf, cur + part[:, :Mc].astype(buf.dtype), lo,
+                        axis=1)
+                return upd(hb, hb_p), upd(hc, hc_p), upd(inf, inf_p)
+            self._progs[key] = add
+        return self._progs[key]
+
+    def add(self, lo: int, Mc: int, hb_p, hc_p, inf_p):
+        self.hb, self.hc, self.inf = self._add_prog(Mc)(
+            self.hb, self.hc, self.inf, hb_p, hc_p, inf_p, lo)
+
+    def _add_coh_prog(self, Mc: int):
+        key = ("resident_addcoh", self.NI, self.Mtot, str(self.dtype), Mc)
+        if key not in self._progs:
+            @partial(jax.jit, donate_argnums=_donate(0, 1))
+            def add(cnum, cden, num_p, den_p, lo):
+                def upd(buf, part):
+                    cur = jax.lax.dynamic_slice_in_dim(
+                        buf, lo, Mc, axis=1)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        buf, cur + part[:, :Mc].astype(buf.dtype), lo,
+                        axis=1)
+                return upd(cnum, num_p), upd(cden, den_p)
+            self._progs[key] = add
+        return self._progs[key]
+
+    def add_coh(self, lo: int, Mc: int, num_p, den_p):
+        self.cnum, self.cden = self._add_coh_prog(Mc)(
+            self.cnum, self.cden, num_p, den_p, lo)
+
+    # -- phase-flip mirror --------------------------------------------
+    def _flip_prog(self):
+        key = ("resident_flip", self.NI, self.Mtot, str(self.dtype))
+        if key not in self._progs:
+            Mtot = self.Mtot
+
+            @partial(jax.jit, donate_argnums=_donate(0))
+            def flip(hb, hc, rows, starts, hi, k):
+                m = jnp.arange(Mtot)
+
+                def body(i, hb):
+                    r = rows[i]
+                    sel = (m > starts[i]) & (m < hi) & (i < k)
+                    row = jnp.where(sel, hc[r] - hb[r], hb[r])
+                    return hb.at[r].set(row)
+                return jax.lax.fori_loop(0, MAX_FLIPS, body, hb)
+            self._progs[key] = flip
+        return self._progs[key]
+
+    def flip_rows(self, flips: List[Tuple[int, int]], hi: int):
+        """flips: [(accumulator row, flip marker m)]; inverts
+        hb[row, m+1:hi] about hc (apply_flips' accumulator mirror)."""
+        if not flips:
+            return
+        for at in range(0, len(flips), MAX_FLIPS):
+            part = flips[at:at + MAX_FLIPS]
+            rows = np.zeros(MAX_FLIPS, dtype=np.int32)
+            starts = np.full(MAX_FLIPS, self.Mtot, dtype=np.int32)
+            for i, (r, mm) in enumerate(part):
+                rows[i], starts[i] = r, mm
+            self.hb = self._flip_prog()(
+                self.hb, self.hc, jnp.asarray(rows), jnp.asarray(starts),
+                hi, len(part))
+
+    # -- scorer views -------------------------------------------------
+    def _rows_prog(self, s0: int, span: int):
+        key = ("resident_rows", self.NI, self.Mtot, str(self.dtype), s0, span)
+        if key not in self._progs:
+            @jax.jit
+            def take(hb, hc, rows):
+                return (hb[rows, s0:s0 + span], hc[rows, s0:s0 + span])
+            self._progs[key] = take
+        return self._progs[key]
+
+    def rows_slice(self, rows: np.ndarray, s0: int, span: int):
+        return self._rows_prog(s0, span)(self.hb, self.hc,
+                                         jnp.asarray(rows))
+
+
+def make_coherence_all(cfg: ModelConfig, params: RuntimeParams,
+                       num_individuals: int):
+    """One program: per-slot adjacent-phase coherence for EVERY family
+    slot, scattered onto per-individual num/den partials [NI, Mp].
+
+    Slots are chained through a zero-valued scalar dependency so XLA
+    schedules them serially — one slot's [B, M, 2, NS, S] temporaries
+    live at a time (the naive all-slot program exceeded 16 GiB HBM at
+    B=1000, M=192).  Replaces numslots separate dispatches."""
+    from .hmm.forward_backward import FBResult
+    from .hmm.transition import interval_recomb, transition_eigenvalues
+
+    @partial(jax.jit, static_argnames=("Mc",))
+    def run(fb, dists, fw_pre, bw, fw_pre_f, bw_f, ratemat, lut,
+            Mc: int):
+        dtype = fw_pre.dtype
+        B, Mp = fb.md.shape[0], fb.md.shape[2]
+        lam = transition_eigenvalues(
+            cfg, interval_recomb(cfg, params, dists,
+                                 ratemat=ratemat)).astype(dtype)
+        fbres = FBResult(fw_pre=fw_pre, fw_post=fw_pre, bw=bw,
+                         fw_pre_f=fw_pre_f, fw_post_f=fw_pre_f, bw_f=bw_f)
+        cols = []
+        prev = jnp.zeros((), dtype=dtype)
+        for slot in range(cfg.numslots):
+            fb_s = _poison(fb, prev) if slot else fb
+            if cfg.numgen == 2:
+                from .engine_ng2 import coherence_slot_ng2
+                c = coherence_slot_ng2(fb_s, dists, fw_pre, bw, fw_pre_f,
+                                       bw_f, cfg, params, slot,
+                                       ratemat=ratemat)
+            else:
+                from .hmm.emission import build_blocks
+                from .hmm.probes import phase_coherence_slot
+                blocks = build_blocks(fb_s, cfg, dtype=dtype)
+                c = phase_coherence_slot(fbres, blocks, fb_s, cfg, lam,
+                                         slot)
+            prev = c[0, 0]
+            cols.append(c)
+        coh = jnp.stack(cols, axis=-1)              # [B, Mp, numslots]
+        # the last real marker has no right neighbour: neutral 0.5;
+        # padding markers must not contribute at all
+        m = jnp.arange(Mp)[None, :, None]
+        coh = jnp.where(m == Mc - 1, 0.5, coh)
+        return scatter_coh(coh, fb.slot_ind, fb.descendants, lut,
+                           num_individuals, Mc)
+
+    return run
+
+
+def scatter_coh(coh, slot_ind, descendants, lut, num_individuals: int,
+                Mc: int):
+    """Device form of updates/scatter.scatter_coherence: every occupied
+    slot contributes desc-weighted coherence (duplicates add twice)."""
+    B, Mp, S = coh.shape
+    dtype = coh.dtype
+    desc = descendants.astype(dtype)
+    rows = jnp.where(slot_ind > 0, lut[slot_ind], num_individuals)
+    valid = (jnp.arange(Mp) < Mc)[None, :]           # [1, Mp]
+    w = jnp.where(valid, 1.0, 0.0).astype(dtype)
+    num = jnp.moveaxis(coh, 2, 1) * (desc[:, None, None] * w[:, None, :])
+    den = jnp.broadcast_to((desc[:, None] * w)[:, None, :],
+                           (B, S, Mp))
+    num = jax.ops.segment_sum(num.reshape(B * S, Mp),
+                              rows.reshape(B * S),
+                              num_segments=num_individuals + 1)[:-1]
+    den = jax.ops.segment_sum(den.reshape(B * S, Mp),
+                              rows.reshape(B * S),
+                              num_segments=num_individuals + 1)[:-1]
+    return num, den
+
+
+def make_scatter_coh_ext(cfg: ModelConfig, num_individuals: int,
+                         n_slots: int):
+    """Scatter-only program for state spaces whose scan already delivers
+    coherence (extended spaces / mesh): neutralise the last real column,
+    scatter onto [NI, Mp] partials."""
+    @partial(jax.jit, static_argnames=("Mc",))
+    def run(coh, slot_ind, descendants, lut, Mc: int):
+        Mp = coh.shape[1]
+        m = jnp.arange(Mp)[None, :, None]
+        coh = jnp.where(m == Mc - 1, 0.5, coh[:, :, :n_slots])
+        return scatter_coh(coh, slot_ind[:, :n_slots], descendants, lut,
+                           num_individuals, Mc)
+
+    return run
+
+
+def make_resident_updates(cfg: ModelConfig, params: RuntimeParams,
+                          chrom_ranges: Tuple[Tuple[int, int], ...],
+                          num_individuals: int, Mtot: int):
+    """Jitted whole-cohort update programs consuming device buffers.
+
+    run_haplo: updatehaploweights (cnF2freq.cpp:4533-4734) including the
+    in-program relskew ratio per chromosome and the active-lane mask.
+    run_inf: processinfprobs (cnF2freq.cpp:4179-4323) including the
+    best-candidate genotype pick (cnF2freq.cpp:4298-4306), returning the
+    new markerdata/markersure so only final state crosses the link."""
+    from .updates import relskew_ratio
+    from .updates.parameter_updates import (update_haploweights,
+                                            update_infprobs)
+
+    @jax.jit
+    def run_haplo(hw, hb, hc, md, ms, rh, desc, children, lastinv_c, sf):
+        dtype = hw.dtype
+        if cfg.relskews:
+            parts = [relskew_ratio(hw[:, lo:hi], rh[:, lo:hi])
+                     for lo, hi in chrom_ranges]
+            relterm = jnp.concatenate(parts, axis=1)
+        else:
+            relterm = jnp.full_like(hw, 0.5)
+        active = (hw > 0) & (hw < 1)
+        cols = [jnp.broadcast_to(
+            (hc[:, lo:hi] > 0).any(axis=1, keepdims=True),
+            (hw.shape[0], hi - lo)) for lo, hi in chrom_ranges]
+        active = active & jnp.concatenate(cols, axis=1)
+        li = jnp.concatenate(
+            [jnp.broadcast_to(lastinv_c[:, c:c + 1],
+                              (hw.shape[0], hi - lo))
+             for c, (lo, hi) in enumerate(chrom_ranges)], axis=1)
+        res = update_haploweights(hw, hb, hc, md, ms.astype(dtype),
+                                  relterm, desc, children, li, active,
+                                  params, sf)
+        return res.haploweight, active, res.hits
+
+    @jax.jit
+    def run_inf(inf, md, ms, prior, priorsure, has_prior, children,
+                eligible, sf):
+        dtype = inf.dtype
+        res = update_infprobs(inf, md, ms.astype(dtype), prior,
+                              priorsure.astype(dtype), has_prior,
+                              children, params, sf)
+        # best-candidate pick (cnF2freq.cpp:4298-4306): the side-1
+        # epsilon reproduces the reference's effective allele-1
+        # tie-breaking (see Driver._process_infprobs)
+        live = inf > 0
+        pick = jnp.where(live, res.newprob, -jnp.inf)
+        eps = jnp.asarray([0.0, 1e-30], dtype=dtype)[None, None, :]
+        best = jnp.where(pick[..., 1] > pick[..., 0] - eps, 1, 0)
+        bestp = jnp.take_along_axis(pick, best[..., None],
+                                    axis=-1)[..., 0]
+        take = (live.any(axis=-1) & jnp.isfinite(bestp)
+                & eligible[:, None, None])
+        newmd = jnp.where(take, best + 1, md)
+        newms = jnp.where(take, (1.0 - bestp).astype(ms.dtype), ms)
+        return newmd, newms, take, res.hits
+
+    return run_haplo, run_inf
+
+
+@dataclasses.dataclass
+class CohortStatic:
+    """Per-run device tensors for the update programs (uploaded once)."""
+
+    prior: jnp.ndarray       # [NI, Mt, 2] int32
+    priorsure: jnp.ndarray   # [NI, Mt, 2]
+    has_prior: jnp.ndarray   # [NI] bool
+    eligible: jnp.ndarray    # [NI] bool  (has_prior & ~empty)
+    children: jnp.ndarray    # [NI]
+    descendants: jnp.ndarray  # [NI]
+
+
+def gather_cohort_static(ped, ids, dtype) -> CohortStatic:
+    M = ped.num_markers
+    NI = len(ids)
+    prior = np.zeros((NI, M, 2), dtype=np.int32)
+    psure = np.zeros((NI, M, 2), dtype=dtype)
+    hasp = np.zeros(NI, dtype=bool)
+    elig = np.zeros(NI, dtype=bool)
+    children = np.zeros(NI, dtype=dtype)
+    desc = np.zeros(NI, dtype=dtype)
+    for i, n in enumerate(ids):
+        ind = ped.by_id(n)
+        hasp[i] = ind.has_prior
+        elig[i] = ind.has_prior and not ind.empty
+        children[i] = ind.children
+        desc[i] = ind.descendants
+        if ind.has_prior:
+            prior[i] = ind.priormarkerdata
+            psure[i] = ind.priormarkersure
+    return CohortStatic(prior=jnp.asarray(prior),
+                        priorsure=jnp.asarray(psure),
+                        has_prior=jnp.asarray(hasp),
+                        eligible=jnp.asarray(elig),
+                        children=jnp.asarray(children),
+                        descendants=jnp.asarray(desc))
+
+
+def stack_cohort_state(ped, ids, dtype, with_rh: bool):
+    """Host-side stack of the mutable cohort state (md/ms/hw/rh) for one
+    upload into the update programs."""
+    md = np.stack([ped.by_id(n).markerdata for n in ids]).astype(np.int32)
+    ms = np.stack([ped.by_id(n).markersure for n in ids]).astype(dtype)
+    hw = np.stack([ped.by_id(n).haploweight for n in ids]).astype(dtype)
+    if with_rh:
+        rh = np.stack([ped.by_id(n).relhaplo if ped.by_id(n).relhaplo
+                       is not None else np.full(ped.num_markers, 0.5)
+                       for n in ids]).astype(dtype)
+    else:
+        rh = np.zeros_like(hw)
+    return md, ms, hw, rh

@@ -209,7 +209,9 @@ def test_driver_full_iteration_ng2():
             assert ((ind.haploweight >= 0) & (ind.haploweight <= 1)).all()
 
 
-def test_ng2_rejects_no_haplotyping():
+def test_ng2_routes_no_haplotyping_to_dedicated_engine():
+    """numgen==2 without haplotyping routes to the deep-walk engine
+    (engine_nohaplo.py) — functional coverage in tests/test_nohaplo.py."""
     import jax.numpy as jnp
 
     from cnf2freq_tpu.config import RuntimeParams
@@ -220,10 +222,15 @@ def test_ng2_rejects_no_haplotyping():
                       do_infprobs=False)
     ped = make_ng2_ped()
     ped.config = cfg
+    for ind in ped.inds[1:]:
+        ind.founder = False
     fb = gather_family(ped, list(ped.dous), 0, ped.num_markers - 1)
-    with pytest.raises(NotImplementedError):
-        chromosome_scan(fb, jnp.asarray(np.diff(ped.markerposes)), cfg,
-                        RuntimeParams())
+    res = chromosome_scan(fb.map(jnp.asarray),
+                          jnp.asarray(np.diff(ped.markerposes)), cfg,
+                          RuntimeParams())
+    assert res.total.shape == (fb.num_units,)
+    assert res.pair.shape[-2:] == (2, 2)
+    assert np.isfinite(np.asarray(res.total)).all()
 
 
 def test_ng2_coherence_matches_bruteforce():
