@@ -31,6 +31,19 @@ from .updates.phaseflip import (FlipCandidate, apply_flips,
 _MOVEHAPLO_TINY = math.exp(-400) * 5e-6 * 5e-6 * 0.5  # cnF2freq.cpp:3605
 
 
+def _host_value(x) -> np.ndarray:
+    """Device array -> host numpy, valid under multi-controller runs:
+    per-analysis-unit outputs are sharded over processes and must be
+    all-gathered before the host stages can read them (the replicated
+    merged accumulators go through plain np.asarray)."""
+    import jax
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x,
+                                                            tiled=True))
+    return np.asarray(x)
+
+
 @dataclasses.dataclass
 class DriverState:
     """Mutable cross-iteration knobs (the reference's globals)."""
@@ -216,8 +229,10 @@ class Driver:
 
     def _jitted_scan_sharded(self, num_individuals: int):
         """The mesh form of _jitted_scan_merged: one shard_map program
-        returning (total, pair, turn_weight, hb, hc, inf, coherence)."""
-        key = ("scan_sharded", self.dtype, num_individuals)
+        returning (total, pair, turn_weight, hb, hc, inf, coherence,
+        recomb_sum, recomb_count)."""
+        key = ("scan_sharded", self.dtype, num_individuals,
+               self.remap_distances)
         if key not in self._scan_cache:
             from .parallel.collective import make_sharded_scan_merged
             self._scan_cache[key] = make_sharded_scan_merged(
@@ -225,7 +240,8 @@ class Driver:
                 probe_rules=self.parity,
                 n_variants=self._n_variants(),
                 with_coherence=self.adaptive_relhaplo and
-                (self.cfg.relskews or self.cfg.relskewstates))
+                (self.cfg.relskews or self.cfg.relskewstates),
+                with_recomb=self.remap_distances)
         return self._scan_cache[key]
 
     def _chunk_size(self, n_units: int, m_markers: int) -> int:
@@ -564,11 +580,28 @@ class Driver:
                     att = blocks.focal_attop[:, None, None, None, None,
                                              None]
                     terms.append(jnp.where(att, ttop, t))
-                # one squared allele-difference sum per (r0=f0, s0=shift
-                # in {0,1}); shift bits s1=s2=0 (addvariance loops
-                # shiftflagmode over {0,1} only, cnF2freq.cpp:1510)
+                # one squared allele-difference sum per addvariance
+                # group (shiftflagmode, majori, majorflag2): the group
+                # sums ALL upper state/path combinations
+                # (cnF2freq.cpp:1510-1545).  In the factored blocks a
+                # DEEP branch (recursion past the parent) spreads that
+                # state mass over its shift axis — sum it; a branch
+                # whose parent is a recursion top (or missing)
+                # replicates over the axis — pin it to 0.  Pinned
+                # against the binary's AVGRP trace on both an all-aux
+                # and a genotyped-F1 cohort (the old u=v=0 form
+                # undercounted deep branches 4x).
+                deep = []
+                for k in range(2):
+                    ps = cfg.parent_slot(k)
+                    deep.append(jnp.asarray(
+                        fb.exists[:, ps] & ~fb.attop[:, ps]))
+                sel0 = jnp.asarray(np.arange(2) == 0, dtype=fb.ms.dtype)
+                wu = jnp.where(deep[0][:, None], 1.0, sel0[None, :])
+                wv = jnp.where(deep[1][:, None], 1.0, sel0[None, :])
                 d = terms[1] - terms[0]
-                sq = sq + (d[..., 0, 0] ** 2).sum(axis=(2, 3))
+                dg = jnp.einsum("zmrtuv,zu,zv->zmrt", d, wu, wv)
+                sq = sq + (dg ** 2).sum(axis=(2, 3))
             return sq
 
         return run
@@ -614,10 +647,6 @@ class Driver:
     # ------------------------------------------------------------------
     def iterate(self, early: bool = False):
         import jax.numpy as jnp
-        if self.ext and self.remap_distances:
-            raise NotImplementedError(
-                "map re-estimation supports the standard state space "
-                "only")
         if self.marker_block is not None and (self.ext or
                                               self.cfg.numgen != 3):
             raise NotImplementedError(
@@ -675,10 +704,6 @@ class Driver:
                                 ind_index)
                 continue
             if self.mesh is not None:
-                if self.remap_distances:
-                    raise NotImplementedError(
-                        "remap_distances under a mesh: re-estimate the "
-                        "map single-device, then scan with the mesh")
                 scan_fn, coh_fn = self._jitted_scan_sharded(NI), None
             else:
                 scan_fn, coh_fn = self._jitted_scan_merged(NI)
@@ -709,8 +734,9 @@ class Driver:
                                            dtype=self.dtype,
                                            mask_mode=self.mask_mode,
                                            parity=self.parity,
-                                           n_variants=self._n_variants())
-                    if Mp > Mc:
+                                           n_variants=self._n_variants(),
+                                           light=fast)
+                    if not fast and Mp > Mc:
                         from .parallel.mesh import pad_markers
                         fbatch = pad_markers(fbatch, Mp)
                     if len(chunk) < bs:
@@ -719,12 +745,20 @@ class Driver:
                     if self.mesh is not None:
                         from .parallel.mesh import shard_batch
                         fbj = shard_batch(fbatch, self.mesh)
+                    elif fast:
+                        # md/ms/hw gathered ON DEVICE from the per-
+                        # iteration ScanCohort upload (resident.py) —
+                        # replaces the dominant per-chunk host transfer
+                        fbj = self._fill_family_dev(
+                            fbatch.map(jnp.asarray), fbatch.slot_ind,
+                            lut, lo, Mp, ids)
                     else:
                         fbj = fbatch.map(jnp.asarray)
                 with self.tracer.span("scan"):
                     if self.mesh is not None:
                         (total, pair_t, turn_w, hb_p, hc_p, inf_p,
-                         coh_t) = scan_fn(fbj, dj, lutj, rj)
+                         coh_t, rec_p, rec_n) = scan_fn(fbj, dj, lutj,
+                                                        rj)
                         res = None
                     else:
                         res, hb_p, hc_p, inf_p = scan_fn(fbj, dj, lutj,
@@ -733,7 +767,12 @@ class Driver:
                         turn_w, coh_t = res.turn_weight, None
                     # tiny readback as the sync point: attributes device
                     # time here rather than to the first big transfer
-                    _ = np.asarray(total)
+                    # (a replicated scalar under a mesh: per-unit totals
+                    # are process-sharded on multi-controller runs)
+                    if self.mesh is not None:
+                        _ = np.asarray(hb_p[0, 0])
+                    else:
+                        _ = np.asarray(total)
                 nb = len(chunk)
                 with self.tracer.span("scatter"):
                     sb = fbatch.slot_ind[:nb]
@@ -746,7 +785,7 @@ class Driver:
                         accum.add(lo, Mc, hb_p, hc_p, inf_p)
                     else:
                         self._store_pair_tables(
-                            chunk, lo, np.asarray(pair_t)[:nb, :Mc])
+                            chunk, lo, _host_value(pair_t)[:nb, :Mc])
                         # accumulators were merged on device (segment-sum
                         # per individual row, make_jitted_scan_merged);
                         # only [NI, M] partials cross the host link
@@ -757,8 +796,21 @@ class Driver:
                         infacc[:, lo:hi] += np.asarray(
                             inf_p, dtype=np.float64)[:, :Mc]
                 if self.remap_distances:
-                    self._accumulate_recomb(nb, Mc, fbj, dj, res, rj,
-                                            remap_acc)
+                    if self.mesh is not None:
+                        # cohort-aggregated expectations came out of the
+                        # sharded program (psum over the data axis)
+                        sexes = np.asarray(self.cfg.typesexes)
+                        sums, counts = remap_acc
+                        p_sum = np.asarray(rec_p)[:Mc - 1]
+                        n_real = float(np.asarray(rec_n))
+                        for sex in range(2):
+                            sel = sexes == sex
+                            sums[sex] += p_sum[:, sel].sum(axis=1)
+                            counts[sex] += int(round(n_real *
+                                                     int(sel.sum())))
+                    else:
+                        self._accumulate_recomb(nb, Mc, fbj, dj, res,
+                                                rj, remap_acc)
                 if need_coh and fast:
                     with self.tracer.span("coherence"):
                         num_p, den_p = self._coherence_partials(
@@ -787,7 +839,7 @@ class Driver:
                         elif coh_t is not None:
                             # mesh path: coherence came out of the
                             # sharded scan program
-                            coh = np.asarray(coh_t)
+                            coh = _host_value(coh_t)
                         else:
                             # one dispatch per slot: an all-slot program
                             # was tried and exceeds HBM at B=1000 (XLA
@@ -823,7 +875,7 @@ class Driver:
                         # (updates/refflips.py)
                         from .updates.refflips import reference_flips
                         weights = np.concatenate(
-                            [np.asarray(p, dtype=np.float64)
+                            [_host_value(p).astype(np.float64)
                              for p in weight_parts], axis=0)
                         winner = reference_flips(
                             ped, cfg, dous, lo, hi, weights,
@@ -835,7 +887,7 @@ class Driver:
                         # (updates/negshift.py)
                         from .updates.negshift import negshift_flips
                         weights = np.concatenate(
-                            [np.asarray(p) for p in weight_parts], axis=0)
+                            [_host_value(p) for p in weight_parts], axis=0)
                         desc = np.array(
                             [max(ped.by_id(n).descendants, 1)
                              for n in dous], dtype=float)
@@ -932,6 +984,81 @@ class Driver:
     # batched numpy; loop-form parity pinned by tests/test_scatter.py)
 
     # -- resident fast path --------------------------------------------
+    def _md_ms_dev(self, ids):
+        """Device md/ms for this iteration, reusing last iteration's
+        update outputs when the pedigree still matches the host mirror
+        (exact array comparison — external mutations like deserialize or
+        masking force a fresh upload automatically)."""
+        import jax.numpy as jnp
+        st = self.state
+        cur = getattr(self, "_md_ms_cache", None)
+        if cur is not None and cur[0] == st.iter:
+            return cur[1]
+        dtype = np.dtype(self.dtype)
+        ped = self.ped
+        md = np.stack([ped.by_id(n).markerdata
+                       for n in ids]).astype(np.int32)
+        ms = np.stack([ped.by_id(n).markersure
+                       for n in ids]).astype(dtype)
+        mirror = getattr(self, "_update_mirror", None)
+        if mirror is not None and np.array_equal(mirror["md"], md) \
+                and np.array_equal(mirror["ms"], ms):
+            out = (mirror["mdj"], mirror["msj"])
+        else:
+            out = (jnp.asarray(md), jnp.asarray(ms))
+        self._md_ms_cache = (st.iter, out)
+        return out
+
+    def _scan_cohort(self, ids):
+        """Per-iteration device cohort tensors in the padded marker
+        layout (resident.ScanCohort); rebuilt each iteration (hw/md/ms
+        change between iterations, never within the scan stage)."""
+        from .resident import ScanCohort
+        st = self.state
+        cur = getattr(self, "_scan_cohort_cache", None)
+        if cur is not None and cur[0] == st.iter:
+            return cur[1]
+        ped = self.ped
+        layout = []
+        plo = 0
+        for c in range(ped.num_chromosomes):
+            lo, hi = ped.chromosome_range(c)
+            Mc = hi - lo
+            Mp = Mc if not self.marker_bucket else \
+                -(-Mc // self.marker_bucket) * self.marker_bucket
+            layout.append((lo, hi, plo, Mp))
+            plo += Mp
+        mdj, msj = self._md_ms_dev(ids)
+        cohort = ScanCohort(ped, ids, np.dtype(self.dtype), layout,
+                            with_rh=self.cfg.relskewstates,
+                            dev_md=mdj, dev_ms=msj,
+                            progs=self._scan_cache)
+        self._scan_cohort_cache = (st.iter, cohort)
+        return cohort
+
+    def _fill_family_dev(self, fbj, slot_ind, lut, lo, Mp, ids):
+        """Replace a light FamilyBatch's md/ms/hw (and relh) with
+        device gathers from the ScanCohort."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from .resident import make_gather_dev
+        cohort = self._scan_cohort(ids)
+        plo, mp = cohort.layout[lo]
+        assert mp == Mp, (mp, Mp)
+        NI = len(ids)
+        rows = np.where(slot_ind > 0, lut[slot_ind], NI)
+        key = ("gather_dev", rows.shape, Mp,
+               self.cfg.relskewstates, str(np.dtype(self.dtype)))
+        if key not in self._scan_cache:
+            self._scan_cache[key] = make_gather_dev(
+                Mp, self.cfg.relskewstates)
+        md, ms, hw, rh = self._scan_cache[key](
+            cohort.md, cohort.ms, cohort.hw, cohort.rh,
+            jnp.asarray(rows), plo)
+        return dataclasses.replace(fbj, md=md, ms=ms, hw=hw, relh=rh)
+
     def _coherence_partials(self, fbj, dj, rj, res, lutj, Mc, NI):
         """One dispatch: all-slot adjacent-phase coherence scattered onto
         [NI, Mp] num/den partials on device (resident.py)."""
@@ -960,8 +1087,7 @@ class Driver:
         per-individual state and change masks cross the host link."""
         import jax.numpy as jnp
 
-        from .resident import (gather_cohort_static,
-                               make_resident_updates, stack_cohort_state)
+        from .resident import gather_cohort_static, make_resident_updates
         ped, cfg = self.ped, self.cfg
         NI, M = accum.NI, accum.Mtot
         C = ped.num_chromosomes
@@ -975,33 +1101,42 @@ class Driver:
         if ukey not in self._scan_cache:
             self._scan_cache[ukey] = make_resident_updates(
                 cfg, self.params, ranges, NI, M)
-        run_haplo, run_inf = self._scan_cache[ukey]
+        run_updates = self._scan_cache[ukey]
 
+        dtype = np.dtype(self.dtype)
         with self.tracer.span("stack"):
-            md, ms, hw, rh = stack_cohort_state(ped, ids, self.dtype,
-                                                cfg.relskews)
+            hw = np.stack([ped.by_id(n).haploweight
+                           for n in ids]).astype(dtype)
+            if cfg.relskews:
+                rh = np.stack(
+                    [ped.by_id(n).relhaplo if ped.by_id(n).relhaplo
+                     is not None else np.full(ped.num_markers, 0.5)
+                     for n in ids]).astype(dtype)
+            else:
+                rh = np.zeros_like(hw)
             lastinv_c = np.stack(
                 [[ped.by_id(n).lastinved[c] != -1 for c in range(C)]
                  for n in ids]).astype(bool)
-        sfj = jnp.asarray(np.dtype(self.dtype).type(scalefactor))
+        sfj = jnp.asarray(dtype.type(scalefactor))
         with self.tracer.span("device"):
-            mdj, msj = jnp.asarray(md), jnp.asarray(ms)
-            # infprobs first: the haploweight similarity damping reads
-            # the genotypes processinfprobs just updated (the reference's
-            # call order, cnF2freq.cpp:6344-6368)
-            newmd, newms, take, i_hits = run_inf(
+            mdj, msj = self._md_ms_dev(ids)
+            (newmd, newms, newmd8, take, newhw, active,
+             hits_dev) = run_updates(
                 accum.inf, mdj, msj, static.prior, static.priorsure,
-                static.has_prior, static.children, static.eligible, sfj)
-            newhw, active, h_hits = run_haplo(
-                jnp.asarray(hw), accum.hb, accum.hc, newmd, newms,
-                jnp.asarray(rh), static.descendants, static.children,
-                jnp.asarray(lastinv_c), sfj)
-            newmd_h = np.asarray(newmd)
-            newms_h = np.asarray(newms, dtype=np.float64)
+                static.has_prior, static.children, static.eligible,
+                jnp.asarray(hw), accum.hb, accum.hc, jnp.asarray(rh),
+                static.descendants, jnp.asarray(lastinv_c), sfj)
+            newmd_h = np.asarray(newmd8)
+            newms_h = np.asarray(newms)
             take_h = np.asarray(take)
             newhw_h = np.asarray(newhw, dtype=np.float64)
             act_h = np.asarray(active)
-            hits = int(i_hits) + int(h_hits)
+            hits = int(hits_dev)
+            # next iteration reuses the device outputs as its md/ms
+            # inputs when the pedigree still matches this host mirror
+            self._update_mirror = dict(md=newmd_h, ms=newms_h,
+                                       mdj=newmd, msj=newms)
+            newms_h = newms_h.astype(np.float64)
         with self.tracer.span("writeback"):
             # masked writeback: untouched lanes keep their full-precision
             # host values (the device pipeline may run at f32)
@@ -1019,12 +1154,19 @@ class Driver:
         """Per-chunk accumulation of posterior recombination expectations
         (real rows and real intervals only): acc = (sum [2, Mc-1],
         count [2])."""
-        from .engine import make_jitted_recomb
-        key = ("recomb", self.dtype)
-        if key not in self._scan_cache:
-            self._scan_cache[key] = make_jitted_recomb(self.cfg,
-                                                       self.params)
-        p = np.asarray(self._scan_cache[key](
+        if self.ext:
+            from .engine_ext import make_jitted_recomb_ext
+            key = ("recomb_ext", self.dtype)
+            if key not in self._scan_cache:
+                self._scan_cache[key] = make_jitted_recomb_ext(
+                    self.cfg, self.params)
+        else:
+            from .engine import make_jitted_recomb
+            key = ("recomb", self.dtype)
+            if key not in self._scan_cache:
+                self._scan_cache[key] = make_jitted_recomb(self.cfg,
+                                                           self.params)
+        p = _host_value(self._scan_cache[key](
             fbj, dj, res.fw_pre, res.bw, res.fw_pre_f, res.bw_f,
             ratemat=rj))[:nb, :Mc - 1]   # drop batch + marker padding
         sexes = np.asarray(self.cfg.typesexes)
@@ -1175,11 +1317,12 @@ class Driver:
                 jnp.asarray(hw.astype(dt)), jnp.asarray(rh.astype(dt)),
                 jnp.asarray(hb.astype(dt)), jnp.asarray(hc.astype(dt)),
                 jnp.asarray(desc.astype(dt)), jnp.asarray(tsel),
-                k=k, with_skew=with_skew, halo=halo)
+                k=k, with_skew=with_skew, halo=halo,
+                compress=dt == np.float32)
             idx = np.asarray(idx) + marker_offset
             mg = np.asarray(mg)
-            gains = np.asarray(gains, dtype=np.float64)   # [B, k]
-            S_top = np.asarray(S_top, dtype=np.float64)   # [B, k, P]
+            gains = _host_value(gains).astype(np.float64)  # [B, k]
+            S_top = _host_value(S_top).astype(np.float64)  # [B, k, P]
         return idx, mg, gains, S_top
 
     def _chromosome_blocked(self, c, lo, hi, dous, haplobase, haplocount,
@@ -1207,9 +1350,18 @@ class Driver:
         from .ops import scan_v2 as v2
         from .parallel.mesh import pad_markers
         ped, cfg = self.ped, self.cfg
-        if self.flip_mode != "native" and not early:
-            raise NotImplementedError("marker-blocked mode supports the "
-                                      "native flip optimizer only")
+        if self.parity and not early:
+            raise NotImplementedError(
+                "marker-blocked mode does not emulate the reference's "
+                "whole-chromosome WCNF pipeline (parity mode)")
+        if self.parent_swap and not early:
+            raise NotImplementedError(
+                "parent-pair swap moves are unblocked-only")
+        # negshift under blocking: the legacy pass consumes the whole
+        # chromosome's turn weights at once, so the per-block device
+        # tensors are staged to HOST memory (RAM, not HBM — the memory
+        # bound blocking exists for) and concatenated after the loop
+        negshift = self.flip_mode == "negshift" and not early
         block = self.marker_block
         Mc = hi - lo
         Mp = -(-Mc // block) * block
@@ -1263,6 +1415,7 @@ class Driver:
             if self.remap_distances else None
         coh_cols = [np.full((len(st["chunk"]), Mc, cfg.numslots), 0.5)
                     for st in states] if with_coh else None
+        neg_parts = [[] for _ in range(nblk)]
         scored = []
         pending = None   # (offset, wparts): blocks score one step
         # deferred so the NEXT block's merged accumulators (all chunks)
@@ -1312,7 +1465,10 @@ class Driver:
                     haplocount[:, sl] += np.asarray(hc_i)[:, :span]
                     infacc[:, sl] += np.asarray(inf_i)[:, :span]
                 if not early:
-                    wparts.append(w)
+                    if negshift:
+                        neg_parts[i].append(np.asarray(w)[:, :span])
+                    else:
+                        wparts.append(w)
                 if with_coh or self.remap_distances:
                     fw_pre = to_std(fb2.fw_pre, B, block)
                     bw = to_std(fb2.bw, B, block)
@@ -1346,6 +1502,15 @@ class Driver:
                                   lo, coh, coh_num, coh_den, ind_index)
         if self.remap_distances:
             self._apply_recomb(lo, hi, remap_acc)
+        if negshift:
+            from .updates.negshift import negshift_flips
+            weights = np.concatenate(
+                [np.concatenate(p, axis=0) for p in neg_parts if p],
+                axis=1)
+            desc = np.array([max(ped.by_id(n).descendants, 1)
+                             for n in dous], dtype=float)
+            return negshift_flips(ped, dous, lo, hi,
+                                  weights / desc[:, None, None], cfg)
         if early or not scored:
             return None
         # merge per-block top-k hot markers; keep the global top

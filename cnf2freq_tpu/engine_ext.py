@@ -109,7 +109,9 @@ def ext_blocks(fb: FamilyBatch, cfg: ModelConfig, ci: bool = False,
         collapsed, csure, dead = collapse_focal(md, ms)
         unk = jnp.zeros_like(collapsed)
         zero = jnp.zeros_like(csure)
-        coll_cond = (collapsed == UNKNOWN) & (ci | (csure == 0.0))
+        # selfing roots always canonicalise (``|| selfingNOW``,
+        # cnF2freq.cpp:1235; pinned by tests/test_refparity_ext.py)
+        coll_cond = jnp.ones_like(collapsed, dtype=bool)
         alive = (~dead).astype(dtype)[:, :, None, None]  # [B, M, 1, 1]
         blocks, ovs = [b0], [None]
         for v in (1, 2):
@@ -134,7 +136,10 @@ def ext_blocks(fb: FamilyBatch, cfg: ModelConfig, ci: bool = False,
             blocks.append(b0._replace(froot=b0.froot * selj,
                                       top=b0.top * selj))
             ovs.append(None)
-        collapses = [collapse_std, collapse_std]
+        # no root collapse under RELSKEWSTATES (``!relskewingNOW``,
+        # cnF2freq.cpp:1235; build_blocks disables it for this config)
+        nc = jnp.zeros_like(collapse_std, dtype=bool)
+        collapses = [nc, nc]
     e_ext = jnp.stack([assemble_e_all(b, cfg) for b in blocks], axis=2)
     return blocks, e_ext, collapses, ovs
 
@@ -373,9 +378,13 @@ def chromosome_scan_ext(fb: FamilyBatch, dists: jnp.ndarray,
 
     VP = [_valid_paths(fb.flag2ignore, k).astype(dtype) for k in range(2)]
     rule_factors = []
+    # rule 3 scope per build: SELFING disables it outright, RELSKEWSTATES
+    # only exempts the focal ((!RELSKEWSTATES || currfilter != 1) &&
+    # !SELFING, cnF2freq.cpp:3488-3489)
+    tied = "nonfocal" if cfg.relskewstates else False
     for w in range(n_variants):
         rule_factors.append(probe_rule_factors(fb, cfg, dtype, w,
-                                               tied_rule=False))
+                                               tied_rule=tied))
 
     mask_std = haplo_update_mask(fb, cfg)                # [B, M, slots]
     b12 = jnp.zeros((B, M, cfg.numslots, 2), dtype=dtype)
@@ -439,3 +448,63 @@ def chromosome_scan_ext(fb: FamilyBatch, dists: jnp.ndarray,
                       inf_accum=inf, pair=pair, turn_weight=turn_w,
                       coherence=coh, fw_pre=fbres.fw_pre, bw=fbres.bw,
                       fw_pre_f=fbres.fw_pre_f, bw_f=fbres.bw_f)
+
+
+def recombination_expectations_ext(fbres: ExtFBResult, e_ext: jnp.ndarray,
+                                   fb: FamilyBatch, cfg: ModelConfig,
+                                   params: RuntimeParams, dists,
+                                   ratemat=None) -> jnp.ndarray:
+    """P[b, m, t]: posterior probability that base meiosis bit t
+    recombined in interval (m, m+1), over the extended (V, state) space.
+
+    The extended transition factors as R_base(g ^ g') x C(V, V')
+    (selfprec / relscore coupling, cnF2freq.cpp:2316-2362), so the
+    pairwise joint's base-xor marginal is one coupling-weighted
+    Walsh-Hadamard correlation per interval — the extended form of
+    hmm.probes.recombination_expectations."""
+    from .hmm.probes import lam_to_kernel
+    B, M, V, NS, S = fbres.fw_post.shape
+    dtype = fbres.fw_post.dtype
+    H = jnp.asarray(hadamard(int(S).bit_length() - 1, str(dtype)))
+    lam = transition_eigenvalues(
+        cfg, interval_recomb(cfg, params, dists,
+                             ratemat=ratemat)).astype(dtype)
+    C = _vcoupling(fb, cfg, params, dists, dtype)      # [B, M-1, V, V]
+
+    x_ = fbres.fw_post[:, :-1]                         # [B,M-1,V,NS,S]
+    y_ = e_ext[:, 1:] * fbres.bw[:, 1:]
+    xh = x_ @ H
+    yh = y_ @ H
+    z = jnp.einsum("bmvns,bmvw,bmwns->bmns", xh, C, yh)
+    z = (z @ H) / S                                    # [B,M-1,NS,S]
+    logw = fbres.fw_post_f[:, :-1] + fbres.bw_f[:, 1:]
+    logw = logw - logw.max(axis=-1, keepdims=True)
+    z = (z * jnp.exp(logw)[:, :, :, None]).sum(axis=2)     # [B,M-1,S]
+    p = jnp.maximum(z, 0.0) * lam_to_kernel(lam, cfg)
+    tot = p.sum(axis=-1, keepdims=True)
+    p = jnp.where(tot > 0, p / jnp.where(tot > 0, tot, 1.0), 0.0)
+    bits = ((np.arange(S)[:, None] >> np.arange(cfg.typebits)[None, :])
+            & 1).astype(np.float64)
+    return jnp.einsum("bmx,xt->bmt", p, jnp.asarray(bits, dtype=dtype))
+
+
+def make_jitted_recomb_ext(cfg: ModelConfig, params: RuntimeParams):
+    """Posterior per-interval recombination expectations over the
+    extended space as their own pass (map re-estimation; the extended
+    form of engine.make_jitted_recomb)."""
+    @jax.jit
+    def run(fb, dists, fw_pre, bw, fw_pre_f, bw_f, ratemat=None):
+        dtype = fw_pre.dtype
+        _, e_ext, _, _ = ext_blocks(fb, cfg, dtype=dtype)
+        fw_post, fw_post_f = _emit_normalise_ext(
+            jnp.moveaxis(fw_pre, 1, 0), jnp.moveaxis(e_ext, 1, 0),
+            jnp.moveaxis(fw_pre_f, 1, 0))
+        fbres = ExtFBResult(
+            fw_pre=fw_pre, fw_post=jnp.moveaxis(fw_post, 0, 1),
+            bw=bw, fw_pre_f=fw_pre_f,
+            fw_post_f=jnp.moveaxis(fw_post_f, 0, 1), bw_f=bw_f)
+        return recombination_expectations_ext(fbres, e_ext, fb, cfg,
+                                              params, dists,
+                                              ratemat=ratemat)
+
+    return run

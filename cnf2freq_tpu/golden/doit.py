@@ -99,11 +99,16 @@ def ignoreflag2(ped: Pedigree, flag2: int, g: int, shiftflagmode: int,
         if filtered and filtered != currfilter:
             return True
         ind = ped.by_id(n)
+        # rule 3 survives under RELSKEWSTATES for every member except
+        # the focal (currfilter == 1): `(!RELSKEWSTATES || currfilter
+        # != 1) && !SELFING`, cnF2freq.cpp:3488-3489 — the coherence
+        # bit only needs the FOCAL's equivalent probes kept apart
         if marker >= 0 and ind.markerdata[marker, 0] == \
                 ind.markerdata[marker, 1] and \
                 ind.markersure[marker, 0] == ind.markersure[marker, 1] and \
                 (bool(filtered) == bool(shiftflagmode & relmapshift[n])) \
-                and not cfg.relskewstates and not cfg.selfing:
+                and (not cfg.relskewstates or currfilter != 1) \
+                and not cfg.selfing:
             return True
     return False
 

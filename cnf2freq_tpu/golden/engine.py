@@ -179,11 +179,18 @@ class GoldenEngine:
             doupdatehaplo = True
             f2n ^= (firstpar ^ localshift) & 1
 
+            # duplicate-allele collapse (cnF2freq.cpp:1229-1240): a
+            # selfing-collapsed root ALWAYS canonicalises
+            # (``|| selfingNOW``), and RELSKEWSTATES disables the
+            # collapse at the root (``!relskewingNOW``) — the coherence
+            # bit needs both interpretations reachable
+            relskewing_now = cfg.relskewstates and rootgen
             if zeroprop or not genwidth:
                 baseval *= 0.5
                 doupdatehaplo = False
-            elif allthesame and (self.correction_inference or
-                                 the_ms[0] == the_ms[1]):
+            elif ((not relskewing_now) and allthesame and
+                  (self.correction_inference or
+                   the_ms[0] == the_ms[1])) or selfing_now:
                 baseval *= 1.0 if f2n else 0.0
                 doupdatehaplo = False
             else:

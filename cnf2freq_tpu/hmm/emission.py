@@ -233,7 +233,8 @@ class RootBlock(NamedTuple):
 def root_block(focal: SlotData, update: int = 0, zp: int = ZP_NONE,
                ci: bool = False, haplotyping: bool = True, inval=None,
                insv=None, side: int = 0, dtype=jnp.float64,
-               root_override=None) -> RootBlock:
+               root_override=None,
+               no_root_collapse: bool = False) -> RootBlock:
     """Focal-individual factor plus the per-branch values it feeds upward.
 
     side: the root's firstpar bit (flag = g*2 + side); side=1 swaps which
@@ -300,6 +301,11 @@ def root_block(focal: SlotData, update: int = 0, zp: int = ZP_NONE,
                        (ci | (focal.ms[..., 0] == focal.ms[..., 1])))
     else:
         collapse = ex2(root_override[4])
+    if no_root_collapse:
+        # RELSKEWSTATES disables the duplicate-allele collapse at the
+        # root (``!relskewingNOW``, cnF2freq.cpp:1235): the coherence
+        # bit must keep both interpretations reachable
+        collapse = collapse & False
     f2n = R0 ^ side ^ S0
     if zp != ZP_NONE:
         ph = jnp.full(jnp.broadcast_shapes(collapse.shape, f2n.shape,
@@ -358,13 +364,17 @@ class EmissionBlocks(NamedTuple):
 def build_blocks(fb: FamilyBatch, cfg: ModelConfig, ci: bool = False,
                  update: int = 0, zp: int = ZP_NONE, inval=None, insv=None,
                  side: int = 0, dtype=jnp.float64,
-                 root_override=None) -> EmissionBlocks:
+                 root_override=None,
+                 no_root_collapse: bool = None) -> EmissionBlocks:
     """Compute the factored emission blocks for one probe variant."""
     assert cfg.numgen == 3, "numgen==2 engine lands with the config matrix"
+    if no_root_collapse is None:
+        no_root_collapse = cfg.relskewstates
     focal = slot_data(fb, 0)
     rb = root_block(focal, update=update, zp=zp, ci=ci,
                     haplotyping=cfg.haplotyping, inval=inval, insv=insv,
-                    side=side, dtype=dtype, root_override=root_override)
+                    side=side, dtype=dtype, root_override=root_override,
+                    no_root_collapse=no_root_collapse)
     genos = bool(update & GENOS)
     pbs = []
     for k in range(2):

@@ -58,7 +58,9 @@ class FamilyBatch:
 
     @property
     def num_units(self) -> int:
-        return self.md.shape[0]
+        # exists is always materialised (md may be None in a light
+        # batch whose marker tensors are gathered on device)
+        return self.exists.shape[0]
 
     @property
     def num_markers(self) -> int:
@@ -90,7 +92,8 @@ def gather_family(ped: Pedigree, focal_ids: Sequence[int],
                   startmark: int, endmark: int,
                   dtype=np.float64, mask_mode: str = "missing",
                   parity: bool = False,
-                  n_variants: int = None) -> \
+                  n_variants: int = None,
+                  light: bool = False) -> \
         FamilyBatch:
     """Build the batch for markers [startmark, endmark] inclusive.
 
@@ -114,9 +117,15 @@ def gather_family(ped: Pedigree, focal_ids: Sequence[int],
     S = cfg.numslots
     M = endmark - startmark + 1
 
-    md = np.zeros((B, S, M, 2), dtype=np.int32)
-    ms = np.zeros((B, S, M, 2), dtype=dtype)
-    hw = np.full((B, S, M), 0.5, dtype=dtype)
+    if light:
+        # md/ms/hw (and relh) stay None: the caller gathers them on
+        # device from a ScanCohort (resident.make_gather_dev) — the
+        # masks below are cheap, the per-slot marker copies are not
+        md = ms = hw = None
+    else:
+        md = np.zeros((B, S, M, 2), dtype=np.int32)
+        ms = np.zeros((B, S, M, 2), dtype=dtype)
+        hw = np.full((B, S, M), 0.5, dtype=dtype)
     exists = np.zeros((B, S), dtype=bool)
     attop = np.zeros((B, S), dtype=bool)
     f2ig = np.zeros(B, dtype=np.int32)
@@ -127,7 +136,8 @@ def gather_family(ped: Pedigree, focal_ids: Sequence[int],
     unit_cons: List[List] = []
 
     selfgen = np.zeros(B, dtype=np.int32) if cfg.selfing else None
-    relh = np.full((B, M), 0.5, dtype=dtype) if cfg.relskewstates else None
+    relh = np.full((B, M), 0.5, dtype=dtype) \
+        if (cfg.relskewstates and not light) else None
 
     sl = slice(startmark, endmark + 1)
     for b, n in enumerate(focal_ids):
@@ -153,9 +163,10 @@ def gather_family(ped: Pedigree, focal_ids: Sequence[int],
             exists[b, s] = True
             slot_ind[b, s] = sid
             emptyslot[b, s] = ind.empty
-            md[b, s] = ind.markerdata[sl]
-            ms[b, s] = ind.markersure[sl]
-            hw[b, s] = ind.haploweight[sl]
+            if not light:
+                md[b, s] = ind.markerdata[sl]
+                ms[b, s] = ind.markersure[sl]
+                hw[b, s] = ind.haploweight[sl]
             # grandparent slots are tops by depth; others by founder
             # flag; two-generation haplotyping units stop at the
             # parents, no-haplotyping ones at the grandparents

@@ -80,8 +80,10 @@ def probe_rule_factors(fb: FamilyBatch, cfg: ModelConfig, dtype,
     (cnF2freq.cpp:3462-3496), applied to the stats contractions.
 
     tied_rule=False applies rule 2 (duplicate-member consistency) only —
-    the extended-state builds disable rule 3 in the reference
-    (the ``!SELFING && !RELSKEWSTATES`` gate, cnF2freq.cpp:3480-3487).
+    the SELFING build disables rule 3 in the reference (the ``!SELFING``
+    gate); tied_rule="nonfocal" keeps rule 3 for every member EXCEPT
+    the focal — the RELSKEWSTATES gate is per-member:
+    ``(!RELSKEWSTATES || currfilter != 1)`` (cnF2freq.cpp:3488-3489).
 
     Rule 3 (shift-tied dedup): a relmap member whose genotype is a
     duplicate pair with equal error values admits a probe only when its
@@ -101,7 +103,10 @@ def probe_rule_factors(fb: FamilyBatch, cfg: ModelConfig, dtype,
         (md[..., 0] == md[..., 1]) & (ms[..., 0] == ms[..., 1])
     tied = jnp.moveaxis(tied, 1, 2)                    # [b, m, slot]
 
-    if not tied_rule:
+    if tied_rule == "nonfocal":
+        tied = jnp.concatenate([tied[..., :1] & False, tied[..., 1:]],
+                               axis=-1)
+    elif not tied_rule:
         tied = jnp.zeros_like(tied)
     r0 = np.arange(2)[:, None]
     s0 = np.arange(2)[None, :]
@@ -219,6 +224,12 @@ def haplo_update_mask(fb: FamilyBatch, cfg: ModelConfig,
     collapse = (fb.md[..., 0] == fb.md[..., 1]) & \
         (ci | (fb.ms[..., 0] == fb.ms[..., 1]))     # [b, slot, m]
     collapse = jnp.moveaxis(collapse, 1, 2)          # [b, m, slot]
+    if cfg.relskewstates:
+        # no duplicate-allele collapse at the root under RELSKEWSTATES
+        # (``!relskewingNOW``, cnF2freq.cpp:1235): the focal's haplo
+        # update fires at homozygous markers too
+        collapse = jnp.concatenate(
+            [collapse[..., :1] & False, collapse[..., 1:]], axis=-1)
     exists = fb.exists[:, None, :]
     focal_attop = fb.attop[:, 0][:, None, None]
     par_vis = exists & ~focal_attop
@@ -464,7 +475,8 @@ def _share_blocks(fb: FamilyBatch, cfg: ModelConfig, side: int, mv: int,
     B, M = fb.md.shape[0], fb.md.shape[2]
     inval = jnp.full((B, M), mv, dtype=jnp.int32)
     rb = root_block(focal, ci=ci, haplotyping=cfg.haplotyping, inval=inval,
-                    side=side, dtype=dtype, root_override=root_override)
+                    side=side, dtype=dtype, root_override=root_override,
+                    no_root_collapse=cfg.relskewstates)
     par = slot_data(fb, cfg.parent_slot(side))
     gps = [slot_data(fb, cfg.grandparent_slot(side, j)) for j in range(2)]
     pbp = parent_block(par, gps[0], gps[1], rb.vA, rb.svA, ci=ci,

@@ -76,7 +76,11 @@ def selfing_emission(fb: FamilyBatch, cfg: ModelConfig, ci: bool = False,
     collapsed, csure, dead = collapse_focal(md, ms)
     unk = jnp.zeros_like(collapsed)
     zero = jnp.zeros_like(csure)
-    coll_cond = (collapsed == UNKNOWN) & (ci | (csure == 0.0))
+    # a selfing-collapsed root ALWAYS canonicalises the interpretation
+    # (``|| selfingNOW`` in the duplicate-allele collapse branch,
+    # cnF2freq.cpp:1235) — pinned against the recompiled SELFING
+    # reference binary (tests/test_refparity_ext.py)
+    coll_cond = jnp.ones_like(collapsed, dtype=bool)
     alive = (~dead)[:, :, None, None].astype(dtype)
 
     es = [e0]

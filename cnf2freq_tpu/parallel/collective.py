@@ -154,15 +154,25 @@ def make_sharded_scan_merged(cfg, params, mesh: Mesh,
                              num_individuals: int,
                              probe_rules: bool = False,
                              n_variants: int = 1,
-                             with_coherence: bool = False):
+                             with_coherence: bool = False,
+                             with_recomb: bool = False):
     """The production scan+merge step under shard_map: each shard runs
     the full single-chip program (including its Pallas kernels — legal
     per shard, unlike pallas under bare GSPMD) on its slice of the
     cohort, then psum completes the per-individual accumulator merge
     over the data axis.  The multi-chip form of
     engine.make_jitted_scan_merged; per-shard parity pinned by
-    tests/test_scatter.py."""
+    tests/test_scatter.py.
+
+    with_recomb additionally returns the cohort-summed posterior
+    recombination expectations [M-1, typebits] (psum over the data
+    axis) — genetic-map re-estimation under a mesh needs only this
+    cohort aggregate, never the per-unit tensors."""
     from ..engine import chromosome_scan
+    from ..hmm.emission import assemble_e_all, build_blocks
+    from ..hmm.forward_backward import FBResult
+    from ..hmm.probes import recombination_expectations
+    from ..hmm.transition import interval_recomb, transition_eigenvalues
 
     def step(fb, dists, lut, ratemat):
         res = chromosome_scan(fb, dists, cfg, params, ratemat=ratemat,
@@ -176,14 +186,43 @@ def make_sharded_scan_merged(cfg, params, mesh: Mesh,
                              lut, num_individuals, axis_name="data",
                              emptyslot=fb.emptyslot if probe_rules
                              else None)
+        if with_recomb:
+            blocks = build_blocks(fb, cfg, dtype=res.fw_pre.dtype)
+            e = assemble_e_all(blocks, cfg)
+            lam = transition_eigenvalues(
+                cfg, interval_recomb(cfg, params, dists,
+                                     ratemat=ratemat)).astype(e.dtype)
+            pe = res.fw_pre * e
+            s = pe.sum(axis=-1, keepdims=True)
+            fw_post = jnp.where(s > 0, pe / jnp.where(s > 0, s, 1.0),
+                                0.0)
+            fw_post_f = res.fw_pre_f + jnp.log(
+                jnp.maximum(s[..., 0], 1e-300))
+            fbres = FBResult(fw_pre=res.fw_pre, fw_post=fw_post,
+                             bw=res.bw, fw_pre_f=res.fw_pre_f,
+                             fw_post_f=fw_post_f, bw_f=res.bw_f)
+            p = recombination_expectations(fbres, e, cfg, lam)
+            # padded batch rows carry all-unknown genotypes: their
+            # posterior expectations are real numbers but the host
+            # divisor counts real units only, so sum ALL rows the same
+            # way the unmeshed accumulate does (it slices [:nb]; here
+            # mask via slot_ind's focal row: vacant focal == padding)
+            real = (fb.slot_ind[:, 0] > 0).astype(p.dtype)
+            psum_p = jax.lax.psum((p * real[:, None, None]).sum(axis=0),
+                                  "data")
+            nreal = jax.lax.psum(real.sum(), "data")
+        else:
+            psum_p = jnp.zeros((res.turn_weight.shape[1] - 1,
+                                cfg.typebits), dtype=res.total.dtype)
+            nreal = jnp.zeros((), dtype=res.total.dtype)
         return (res.total, res.pair, res.turn_weight, hb, hc, inf,
-                res.coherence)
+                res.coherence, psum_p, nreal)
 
     fb_spec = P("data")
     sharded = jax.shard_map(
         step, mesh=mesh,
         in_specs=(fb_spec, P(), P(), P()),
         out_specs=(P("data"), P("data"), P("data"), P(), P(), P(),
-                   P("data")),
+                   P("data"), P(), P()),
         check_vma=False)
     return jax.jit(sharded)

@@ -53,8 +53,15 @@ def init_distributed(coordinator: Optional[str] = None,
     ``jax.distributed.initialize()`` needs no parameters.  A no-op when
     the process group is already up or when running single-host with no
     coordinator configured."""
-    if jax.process_count() > 1:
-        return
+    # must not query the backend here (jax.process_count() would
+    # initialise XLA and make jax.distributed.initialize impossible);
+    # inspect the distributed client state directly
+    try:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return
+    except Exception:
+        pass
     if coordinator is None and "COORDINATOR_ADDRESS" in os.environ:
         coordinator = os.environ["COORDINATOR_ADDRESS"]
     try:
@@ -65,9 +72,13 @@ def init_distributed(coordinator: Optional[str] = None,
         elif os.environ.get("TPU_WORKER_HOSTNAMES") or \
                 os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
             jax.distributed.initialize()
-    except RuntimeError:
-        # already initialised (e.g. by a launcher wrapper)
-        pass
+    except RuntimeError as e:
+        # tolerate ONLY double initialisation (e.g. a launcher wrapper
+        # beat us to it); anything else — unreachable coordinator, rank
+        # mismatch — must not silently degrade to single-host
+        if "already" in str(e).lower():
+            return
+        raise
 
 
 def pod_mesh(state: int = 1) -> Mesh:

@@ -207,8 +207,13 @@ def make_coherence_all(cfg: ModelConfig, params: RuntimeParams,
                          fw_pre_f=fw_pre_f, fw_post_f=fw_pre_f, bw_f=bw_f)
         cols = []
         prev = jnp.zeros((), dtype=dtype)
+        pair_acc = jnp.zeros((), dtype=dtype)
         for slot in range(cfg.numslots):
-            fb_s = _poison(fb, prev) if slot else fb
+            # serialise in PAIRS: two slots' temporaries fit HBM
+            # concurrently (one chain is ~3 GiB at B=1000, M=192 f32;
+            # the free-for-all 7-slot program did not fit), halving the
+            # serial depth of the single-slot chain
+            fb_s = _poison(fb, prev) if slot >= 2 else fb
             if cfg.numgen == 2:
                 from .engine_ng2 import coherence_slot_ng2
                 c = coherence_slot_ng2(fb_s, dists, fw_pre, bw, fw_pre_f,
@@ -220,7 +225,10 @@ def make_coherence_all(cfg: ModelConfig, params: RuntimeParams,
                 blocks = build_blocks(fb_s, cfg, dtype=dtype)
                 c = phase_coherence_slot(fbres, blocks, fb_s, cfg, lam,
                                          slot)
-            prev = c[0, 0]
+            pair_acc = pair_acc + c[0, 0]
+            if slot % 2 == 1:
+                prev, pair_acc = prev + pair_acc, jnp.zeros((),
+                                                           dtype=dtype)
             cols.append(c)
         coh = jnp.stack(cols, axis=-1)              # [B, Mp, numslots]
         # the last real marker has no right neighbour: neutral 0.5;
@@ -286,8 +294,29 @@ def make_resident_updates(cfg: ModelConfig, params: RuntimeParams,
                                             update_infprobs)
 
     @jax.jit
-    def run_haplo(hw, hb, hc, md, ms, rh, desc, children, lastinv_c, sf):
+    def run_updates(inf, md, ms, prior, priorsure, has_prior, children,
+                    eligible, hw, hb, hc, rh, desc, lastinv_c, sf):
         dtype = hw.dtype
+        # processinfprobs first: the haploweight similarity damping
+        # reads the genotypes it just updated (call order,
+        # cnF2freq.cpp:6344-6368)
+        ires = update_infprobs(inf, md, ms.astype(dtype), prior,
+                               priorsure.astype(dtype), has_prior,
+                               children, params, sf)
+        # best-candidate pick (cnF2freq.cpp:4298-4306): the side-1
+        # epsilon reproduces the reference's effective allele-1
+        # tie-breaking (see Driver._process_infprobs)
+        live = inf > 0
+        pick = jnp.where(live, ires.newprob, -jnp.inf)
+        eps = jnp.asarray([0.0, 1e-30], dtype=dtype)[None, None, :]
+        best = jnp.where(pick[..., 1] > pick[..., 0] - eps, 1, 0)
+        bestp = jnp.take_along_axis(pick, best[..., None],
+                                    axis=-1)[..., 0]
+        take = (live.any(axis=-1) & jnp.isfinite(bestp)
+                & eligible[:, None, None])
+        newmd = jnp.where(take, best + 1, md)
+        newms = jnp.where(take, (1.0 - bestp).astype(ms.dtype), ms)
+
         if cfg.relskews:
             parts = [relskew_ratio(hw[:, lo:hi], rh[:, lo:hi])
                      for lo, hi in chrom_ranges]
@@ -303,34 +332,15 @@ def make_resident_updates(cfg: ModelConfig, params: RuntimeParams,
             [jnp.broadcast_to(lastinv_c[:, c:c + 1],
                               (hw.shape[0], hi - lo))
              for c, (lo, hi) in enumerate(chrom_ranges)], axis=1)
-        res = update_haploweights(hw, hb, hc, md, ms.astype(dtype),
-                                  relterm, desc, children, li, active,
-                                  params, sf)
-        return res.haploweight, active, res.hits
+        hres = update_haploweights(hw, hb, hc, newmd,
+                                   newms.astype(dtype), relterm, desc,
+                                   children, li, active, params, sf)
+        # newmd8: the compact readback copy (alleles fit int8); the
+        # int32 newmd stays on device as next iteration's input
+        return (newmd, newms, newmd.astype(jnp.int8), take,
+                hres.haploweight, active, ires.hits + hres.hits)
 
-    @jax.jit
-    def run_inf(inf, md, ms, prior, priorsure, has_prior, children,
-                eligible, sf):
-        dtype = inf.dtype
-        res = update_infprobs(inf, md, ms.astype(dtype), prior,
-                              priorsure.astype(dtype), has_prior,
-                              children, params, sf)
-        # best-candidate pick (cnF2freq.cpp:4298-4306): the side-1
-        # epsilon reproduces the reference's effective allele-1
-        # tie-breaking (see Driver._process_infprobs)
-        live = inf > 0
-        pick = jnp.where(live, res.newprob, -jnp.inf)
-        eps = jnp.asarray([0.0, 1e-30], dtype=dtype)[None, None, :]
-        best = jnp.where(pick[..., 1] > pick[..., 0] - eps, 1, 0)
-        bestp = jnp.take_along_axis(pick, best[..., None],
-                                    axis=-1)[..., 0]
-        take = (live.any(axis=-1) & jnp.isfinite(bestp)
-                & eligible[:, None, None])
-        newmd = jnp.where(take, best + 1, md)
-        newms = jnp.where(take, (1.0 - bestp).astype(ms.dtype), ms)
-        return newmd, newms, take, res.hits
-
-    return run_haplo, run_inf
+    return run_updates
 
 
 @dataclasses.dataclass
@@ -369,6 +379,96 @@ def gather_cohort_static(ped, ids, dtype) -> CohortStatic:
                         eligible=jnp.asarray(elig),
                         children=jnp.asarray(children),
                         descendants=jnp.asarray(desc))
+
+
+class ScanCohort:
+    """Device cohort tensors for the in-program family gather: one
+    upload per iteration replaces the per-(chromosome, chunk) host
+    stacking + upload of [B, slots, Mc]-shaped md/ms/hw (the dominant
+    remaining transfer of the resident path).
+
+    Markers live in a PADDED layout: chromosome c occupies columns
+    [plo_c, plo_c + Mp_c) with its bucketed length, so an in-program
+    slice of length Mp_c never reads a neighbouring chromosome's real
+    markers — pad columns carry the inert dummy-marker values
+    (md=0, ms=0, hw=0.5, relh=0.5; parallel/mesh.pad_markers).  Row NI
+    is the vacant-slot sentinel with the same inert values."""
+
+    def __init__(self, ped, ids, dtype, layout, with_rh: bool,
+                 dev_md=None, dev_ms=None, progs: Dict = None):
+        NI = len(ids)
+        MP = sum(mp for _, _, _, mp in layout)
+        hw = np.full((NI + 1, MP), 0.5, dtype=dtype)
+        rh = np.full((NI + 1, MP), 0.5, dtype=dtype) if with_rh else None
+        for (lo, hi, plo, mp) in layout:
+            sl = slice(plo, plo + (hi - lo))
+            for i, n in enumerate(ids):
+                ind = ped.by_id(n)
+                hw[i, sl] = ind.haploweight[lo:hi]
+                if rh is not None and ind.relhaplo is not None:
+                    rh[i, sl] = ind.relhaplo[lo:hi]
+        if dev_md is not None:
+            # md/ms already live on device in the real marker layout
+            # (the update programs' outputs); transform in-program
+            self.md, self.ms = _layout_prog(
+                tuple(layout), dev_md.shape, str(dtype),
+                progs if progs is not None else {})(dev_md, dev_ms)
+        else:
+            md = np.zeros((NI + 1, MP, 2), dtype=np.int32)
+            ms = np.zeros((NI + 1, MP, 2), dtype=dtype)
+            for (lo, hi, plo, mp) in layout:
+                sl = slice(plo, plo + (hi - lo))
+                for i, n in enumerate(ids):
+                    ind = ped.by_id(n)
+                    md[i, sl] = ind.markerdata[lo:hi]
+                    ms[i, sl] = ind.markersure[lo:hi]
+            self.md = jnp.asarray(md)
+            self.ms = jnp.asarray(ms)
+        self.hw = jnp.asarray(hw)
+        self.rh = jnp.asarray(rh) if rh is not None else None
+        self.layout = {lo: (plo, mp) for lo, hi, plo, mp in layout}
+
+
+def _layout_prog(layout, shape, dtkey, progs: Dict):
+    """Real [NI, Mtot, 2] -> padded [NI+1, MPtot, 2] marker-layout
+    transform on device (pad columns inert, sentinel row appended)."""
+    key = ("resident_layout", layout, shape, dtkey)
+    if key not in progs:
+        @jax.jit
+        def run(md, ms):
+            def padded(x):
+                parts = []
+                for (lo, hi, plo, mp) in layout:
+                    seg = x[:, lo:hi]
+                    if mp > hi - lo:
+                        seg = jnp.pad(
+                            seg, [(0, 0), (0, mp - (hi - lo)), (0, 0)])
+                    parts.append(seg)
+                out = jnp.concatenate(parts, axis=1)
+                return jnp.pad(out, [(0, 1), (0, 0), (0, 0)])
+            return padded(md), padded(ms)
+        progs[key] = run
+    return progs[key]
+
+
+def make_gather_dev(Mp: int, with_rh: bool):
+    """One-dispatch family gather: marker slice then row gather."""
+    @jax.jit
+    def run(mdC, msC, hwC, rhC, rows, plo):
+        md = jax.lax.dynamic_slice_in_dim(mdC, plo, Mp, axis=1)
+        ms = jax.lax.dynamic_slice_in_dim(msC, plo, Mp, axis=1)
+        hw = jax.lax.dynamic_slice_in_dim(hwC, plo, Mp, axis=1)
+        out_md = md[rows]               # [B, S, Mp, 2]
+        out_ms = ms[rows]
+        out_hw = hw[rows]
+        if with_rh:
+            rh = jax.lax.dynamic_slice_in_dim(rhC, plo, Mp, axis=1)
+            out_rh = rh[rows[:, 0]]     # focal rows [B, Mp]
+        else:
+            out_rh = None
+        return out_md, out_ms, out_hw, out_rh
+
+    return run
 
 
 def stack_cohort_state(ped, ids, dtype, with_rh: bool):

@@ -141,9 +141,11 @@ def make_flip_scorer():
     import jax.numpy as jnp
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("k", "with_skew", "halo"))
+    @partial(jax.jit, static_argnames=("k", "with_skew", "halo",
+                                       "compress"))
     def score(parts, pat, allowed, hw, rh, hb, hc, desc, tsel,
-              k: int, with_skew: bool, halo: bool = False):
+              k: int, with_skew: bool, halo: bool = False,
+              compress: bool = False):
         """parts: tuple of [Bi, M, T] turn-weight chunks; pat [B, T]
         per-family pattern index of each turn; allowed [B, T];
         hw/rh/hb/hc [B, M] skew inputs — or [B, M+1] with halo=True,
@@ -211,8 +213,16 @@ def make_flip_scorer():
         gains = S.max(axis=2) - S[:, :, 0]                    # [B, M]
         mg = jnp.where(gains > 1e-12, gains, 0.0).sum(axis=0)
         mg_top, idx = jax.lax.top_k(mg, k)
-        return idx, mg_top, jnp.take(gains, idx, axis=1), \
-            jnp.take(S, idx, axis=1)
+        S_top = jnp.take(S, idx, axis=1)
+        g_top = jnp.take(gains, idx, axis=1)
+        if compress:
+            # halve the [B, k, P] readback over slow host links: the
+            # pattern sums only rank flip candidates, bf16's ~3 decimal
+            # digits keep the component solve's decisions (f32-path
+            # drivers only; the f64 CPU path stays exact)
+            S_top = S_top.astype(jnp.bfloat16)
+            g_top = g_top.astype(jnp.bfloat16)
+        return idx, mg_top, g_top, S_top
 
     return score
 

@@ -61,6 +61,75 @@ def have_reference() -> bool:
     return os.path.exists(REF_BINARY) and os.path.exists(TOULBAR)
 
 
+def variant_binary(variant: str) -> str:
+    """Path of a settings-variant build (refbaseline/build_ref.py
+    patch_settings): SELFING / RELSKEWSTATES compiled reference."""
+    return os.path.join(REPO, ".refbuild_" + variant,
+                        "cnf2freq_ref_" + variant)
+
+
+def have_variant(variant: str) -> bool:
+    return os.path.exists(variant_binary(variant)) and \
+        os.path.exists(TOULBAR)
+
+
+def build_variant(variant: str) -> None:
+    import sys
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "refbaseline",
+                                      "build_ref.py"), variant],
+        check=True)
+
+
+def run_reference_traced(mapfile: str, pedfile: str, genfile: str,
+                         count: int, workdir: str, n_markers: int,
+                         binary: str = None, trace_env: dict = None):
+    """Run the (variant) binary with REFTRACE instrumentation; returns
+    (dump iters, parsed stderr traces).
+
+    Traces parsed: ACC (i, marker) -> (haplobase, haplocount, negshift),
+    INF (i, marker, side, allele) -> weight, PRB (n, marker, g, flag2,
+    shift) -> posterior probe value.  All are per-doit-call streams in
+    order; with count=2 exactly one doit runs (the reference main loop
+    skips iteration 0), so the traces describe that single scan."""
+    os.makedirs(workdir, exist_ok=True)
+    out = os.path.join(workdir, "refdump.txt")
+    env = dict(os.environ)
+    env["OMP_NUM_THREADS"] = "1"
+    env["OMP_STACKSIZE"] = "128M"
+    env["PATH"] = REFBUILD + os.pathsep + env.get("PATH", "")
+    env["REFTRACE"] = "1"
+    env["REFTRACE5"] = "1"
+    if trace_env:
+        env.update(trace_env)
+    cmd = [binary or REF_BINARY, "--mapfile", mapfile, "--pedfile",
+           pedfile, "--genfile", genfile, "--output", out,
+           "--count", str(count), "--tmppath", workdir]
+    errpath = os.path.join(workdir, "ref_stderr.log")
+    with open(os.path.join(workdir, "ref_stdout.log"), "w") as so, \
+            open(errpath, "w") as se:
+        subprocess.run(cmd, env=env, check=True, stdout=so, stderr=se)
+    acc, inf, prb = {}, {}, {}
+    with open(errpath) as f:
+        for line in f:
+            p = line.split()
+            if not p:
+                continue
+            if p[0] == "ACC":
+                acc[(int(p[1]), int(p[2]))] = (
+                    float(p[3]), float(p[4]), float(p[5]))
+            elif p[0] == "INF":
+                inf[(int(p[1]), int(p[2]), int(p[3]), int(p[4]))] = \
+                    float(p[5])
+            elif p[0] == "PRB":
+                key = (int(p[1]), int(p[2]), int(p[3]), int(p[4]),
+                       int(p[5]))
+                prb[key] = prb.get(key, 0.0) + float(p[6])
+    with open(out) as f:
+        iters = parse_dump(f.read(), n_markers)
+    return iters, dict(acc=acc, inf=inf, prb=prb)
+
+
 def build_reference() -> None:
     """Compile the patched reference + solver shim into .refbuild/."""
     subprocess.run(

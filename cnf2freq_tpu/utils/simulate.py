@@ -272,3 +272,77 @@ def simulate_plantimpute_files(dirpath, n_f2: int = 20, n_markers: int = 30,
             f.write("F2_%d " % i
                     + " ".join(str(c) for c in r) + " %d\n" % r[-1])
     return mapfile, pedfile, genfile, truths
+
+
+def simulate_plantimpute_selfed_files(dirpath, n_lines: int = 8,
+                                      n_markers: int = 10,
+                                      generations: int = 4,
+                                      spacing_cm: float = 5.0,
+                                      missing_rate: float = 0.1,
+                                      error_rate: float = 0.02,
+                                      seed: int = 0):
+    """Write a selfed-line cohort in the PlantImpute format.
+
+    A pedigree row ``L_i A B <gen>`` with gen >= 2 makes both readers
+    (reference readalphaped, cnF2freq.cpp:6515-6527, and io.alpha)
+    synthesize aux F1 parents over the founders; under the SELFING
+    build the line's HBD process runs with selfgen = gen - 2
+    (selfingfactors, cnF2freq.cpp:2050-2063).  Lines are bred by an
+    actual selfing chain: F1 = A x B, then ``generations - 2`` selfing
+    steps where both gametes come from the same individual.
+
+    Returns (mapfile, pedfile, genfile, truths)."""
+    import os
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(dirpath, exist_ok=True)
+    M = n_markers
+    poses = np.arange(M) * spacing_cm
+
+    def meiosis(geno):
+        d = np.diff(poses)
+        rec = 0.5 * (1 - np.exp(-2 * d / 100.0))
+        strand = rng.integers(0, 2)
+        idx = [strand]
+        for r in rec:
+            if rng.random() < r:
+                strand ^= 1
+            idx.append(strand)
+        return geno[np.arange(M), idx]
+
+    truths = {"A": np.full((M, 2), 1, dtype=np.int32),
+              "B": np.full((M, 2), 2, dtype=np.int32)}
+    rows = {}
+    for i in range(n_lines):
+        name = f"L_{i}"
+        cur = np.stack([meiosis(truths["A"]), meiosis(truths["B"])],
+                       axis=1)                      # the F1
+        for _ in range(generations - 2):
+            cur = np.stack([meiosis(cur), meiosis(cur)], axis=1)
+        truths[name] = cur
+        obs = cur.copy()
+        err = rng.random((M, 2)) < error_rate
+        obs[err] = 3 - obs[err]
+        code = (obs == 2).sum(axis=1)
+        code[rng.random(M) < missing_rate] = 9
+        rows[name] = code
+
+    mapfile = os.path.join(dirpath, "selfed.map")
+    pedfile = os.path.join(dirpath, "selfed.ped")
+    genfile = os.path.join(dirpath, "selfed.gen")
+    with open(mapfile, "w") as f:
+        for p in poses:
+            f.write("%g\n" % p)
+        f.write("%g\n" % (poses[-1] + 2 * spacing_cm))
+    with open(pedfile, "w") as f:
+        f.write("A 0 0\nB 0 0\n")
+        for i in range(n_lines):
+            f.write("L_%d A B %d\n" % (i, generations))
+    with open(genfile, "w") as f:
+        f.write("A " + " ".join(["0"] * M) + " 0\n")
+        f.write("B " + " ".join(["2"] * M) + " 2\n")
+        for i in range(n_lines):
+            r = rows[f"L_{i}"]
+            f.write("L_%d " % i
+                    + " ".join(str(c) for c in r) + " %d\n" % r[-1])
+    return mapfile, pedfile, genfile, truths

@@ -335,6 +335,19 @@ def patch_source(src):
     if src.count(old) != 1:
         raise SystemExit(f"skewness anchor count={src.count(old)}")
     src = src.replace(old, new)
+    # (f2) REFTRACE11: the per-state emission weights adjustprobs
+    # multiplies in (realok for flag99 == -1), keyed by individual,
+    # marker, state — pinpoints emission vs transition divergences.
+    old = ("				sum += val;\n"
+           "				probs[i] = val;")
+    new = ("				sum += val;\n"
+           "				probs[i] = val;\n"
+           "				if (getenv(\"REFTRACE11\") && flag99 == -1)"
+           " fprintf(stderr, \"EMI %d %u %u %d %.17g\\n\", this->n, marker,"
+           " i, *(tb.shiftflagmode), realok);")
+    if src.count(old) != 1:
+        raise SystemExit(f"emi anchor count={src.count(old)}")
+    src = src.replace(old, new)
     # (g) REFTRACE5: per-probe posterior weights in the doit probe loop.
     old = ("									val = exp(val);\n"
            "									int marker = -q - 1000;")
@@ -416,30 +429,77 @@ def patch_source(src):
     return src
 
 
-def main():
-    os.makedirs(OUT, exist_ok=True)
+def patch_settings(settings: str, variant: str) -> str:
+    """Select a settings.h model block the way the reference intends —
+    by editing the compile-time constants (settings.h:14-23).
+
+    The SELFING / RELSKEWSTATES variants extend TYPESEXES/TYPEGENS with
+    the entries the reference keeps commented next to the arrays
+    (settings.h:21-23: ``/*, 0, 0*/`` selfing sexes, ``/*, 2, 2*/``
+    selfing gens, ``/*, 0*/`` the relskew coherence bit)."""
+    settings = settings.replace("#define XSTDBITSET 1",
+                                "#define XSTDBITSET 0")
+    if variant == "default":
+        return settings
+    sexes = ("const int TYPESEXES[TYPEBITS + SELFING * SELFBITS + "
+             "RELSKEWSTATES] = { 0, 0, 1, 1, 0, 1/*, 0, 0*//*, 0*/ };")
+    gens = ("const int TYPEGENS[TYPEBITS + SELFING * 2] = "
+            "{ 1, 0, 0, 1, 0, 0/*, 2, 2*//*, 3*/ };")
+    assert sexes in settings and gens in settings, \
+        "settings.h array anchors moved"
+    if variant == "selfing":
+        settings = settings.replace("const bool SELFING = false;",
+                                    "const bool SELFING = true;")
+        settings = settings.replace(
+            sexes, sexes.replace("0, 1/*, 0, 0*//*, 0*/",
+                                 "0, 1, 0, 0"))
+        settings = settings.replace(
+            gens, gens.replace("0, 0/*, 2, 2*//*, 3*/",
+                               "0, 0, 2, 2"))
+    elif variant == "relskewstates":
+        settings = settings.replace("const bool RELSKEWSTATES = false;",
+                                    "const bool RELSKEWSTATES = true;")
+        settings = settings.replace(
+            sexes, sexes.replace("0, 1/*, 0, 0*//*, 0*/",
+                                 "0, 1, 0"))
+    else:
+        raise SystemExit(f"unknown variant {variant}")
+    return settings
+
+
+def build(variant: str = "default") -> str:
+    """Patch + compile one settings variant; returns the binary path."""
+    suffix = "" if variant == "default" else "_" + variant
+    out = OUT + suffix
+    os.makedirs(out, exist_ok=True)
     with open(os.path.join(REF, "cnF2freq.cpp")) as f:
         src = f.read()
     with open(os.path.join(REF, "settings.h")) as f:
         settings = f.read()
 
     src = patch_source(src)
-    settings = settings.replace("#define XSTDBITSET 1", "#define XSTDBITSET 0")
+    settings = patch_settings(settings, variant)
 
-    with open(os.path.join(OUT, "cnF2freq.cpp"), "w") as f:
+    with open(os.path.join(out, "cnF2freq.cpp"), "w") as f:
         f.write(src)
-    with open(os.path.join(OUT, "settings.h"), "w") as f:
+    with open(os.path.join(out, "settings.h"), "w") as f:
         f.write(settings)
 
+    binary = "cnf2freq_ref" + suffix
     cmd = [
         "g++", "cnF2freq.cpp", "-O2", "-ffast-math", "-fopenmp",
         "-I", os.path.join(REPO, "refbaseline", "include"),
         "-std=gnu++20", "-DDOEXTERNFORGCC", "-w",
-        "-o", "cnf2freq_ref",
+        "-o", binary,
     ]
     print("+", " ".join(cmd))
-    r = subprocess.run(cmd, cwd=OUT)
-    sys.exit(r.returncode)
+    subprocess.run(cmd, cwd=out, check=True)
+    return os.path.join(out, binary)
+
+
+def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "default"
+    build(variant)
 
 
 if __name__ == "__main__":

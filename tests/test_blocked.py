@@ -238,3 +238,26 @@ def test_driver_blocked_remap_matches_unblocked():
         d.iterate(early=False)
     np.testing.assert_allclose(peds[0].actrec, peds[1].actrec,
                                rtol=1e-7, atol=1e-10)
+
+
+def test_driver_blocked_negshift_matches_unblocked():
+    """Blocked mode under the legacy negshift flip path: per-block turn
+    weights are staged to host and concatenated, so the whole-chromosome
+    negshift pass sees exactly the unblocked weights — one full
+    iteration equals the unblocked run."""
+    from cnf2freq_tpu.driver import Driver
+
+    peds = [simulate_f2(n_f2=8, n_markers=16, missing_rate=0.2,
+                        error_rate=0.02, seed=31) for _ in range(2)]
+    drvs = [Driver(peds[0]), Driver(peds[1])]
+    drvs[0].marker_block = 4
+    for d in drvs:
+        d.flip_mode = "negshift"
+        d.adaptive_relhaplo = False
+        d.preprocess()
+        d.iterate(early=False)
+    for a, b in zip(peds[0].inds[1:], peds[1].inds[1:]):
+        np.testing.assert_allclose(a.haploweight, b.haploweight,
+                                   rtol=1e-8, atol=1e-11, err_msg=a.name)
+        np.testing.assert_array_equal(a.lastinved, b.lastinved,
+                                      err_msg=a.name)

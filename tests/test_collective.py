@@ -215,3 +215,27 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
                       got.haploweight)
         het = want_md[n][:, 0] != want_md[n][:, 1]
         np.testing.assert_allclose(hw[het], want_hw[n][het], atol=2e-6)
+
+
+def test_remap_distances_under_mesh_matches_single_device():
+    """Genetic-map re-estimation under a mesh: the sharded program
+    returns the psum'd cohort recombination expectations, and the
+    re-estimated ped.actrec equals the single-device run's."""
+    from cnf2freq_tpu.driver import Driver
+
+    peds = [simulate_f2(n_f2=16, n_markers=12, n_founder_pairs=2,
+                        seed=17) for _ in range(2)]
+    drvs = [Driver(peds[0], dtype=np.float64),
+            Driver(peds[1], dtype=np.float64, mesh=make_mesh(8))]
+    for d in drvs:
+        d.remap_distances = True
+        d.adaptive_relhaplo = False
+        d.preprocess()
+        d.iterate(early=True)
+        d.iterate(early=False)
+    assert peds[0].actrec is not None and peds[1].actrec is not None
+    np.testing.assert_allclose(peds[1].actrec, peds[0].actrec,
+                               rtol=1e-9, atol=1e-12)
+    for a, b in zip(peds[0].inds[1:], peds[1].inds[1:]):
+        np.testing.assert_allclose(a.haploweight, b.haploweight,
+                                   rtol=1e-8, atol=1e-10)

@@ -420,3 +420,90 @@ def test_cli_extended_models_demo(model, tmp_path):
                "--dump", str(tmp_path / "dump.txt")])
     assert rc == 0
     assert out.read_text().strip()
+
+
+@pytest.mark.parametrize("make_ped,cfg", [(make_selfed_ped, CFG_SELF),
+                                          (make_relskew_ped, CFG_REL)])
+def test_ext_recomb_expectations_match_dense(make_ped, cfg):
+    """Extended-space recombination expectations (map re-estimation)
+    vs a dense golden joint: P(bit t recombined in interval) from the
+    explicit pairwise state joint with the golden transition."""
+    import jax.numpy as jnp
+
+    from cnf2freq_tpu.engine_ext import (chromosome_scan_ext,
+                                         make_jitted_recomb_ext)
+    from cnf2freq_tpu.golden.engine import GoldenEngine
+    from cnf2freq_tpu.hmm.family import gather_family
+
+    ped = make_ped()
+    eng = GoldenEngine(ped)
+    eng.correction_inference = False
+    M = ped.num_markers
+    dous = list(ped.dous)
+    fb = gather_family(ped, dous, 0, M - 1, dtype=np.float64)
+    fbj = fb.map(jnp.asarray)
+    dists = jnp.asarray(np.diff(ped.markerposes))
+    from cnf2freq_tpu.config import RuntimeParams
+    params = RuntimeParams()
+    res = chromosome_scan_ext(fbj, dists, cfg, params)
+    run = make_jitted_recomb_ext(cfg, params)
+    P = np.asarray(run(fbj, dists, res.fw_pre, res.bw, res.fw_pre_f,
+                       res.bw_f))
+
+    S = cfg.numstates
+    base = cfg.numtypes
+    for b, n in enumerate(dous):
+        ind = ped.by_id(n)
+        selfgen = max(ind.gen - 2, 0) if cfg.selfing else 0
+        shiftend = cfg.numshifts
+        fbs = {s: eng.fwbw(ind, 0, M - 1, s) for s in range(shiftend)}
+        for j in range(M - 1):
+            dist = ped.markerposes[j + 1] - ped.markerposes[j]
+            relh = 0.5 if not cfg.relskewstates else \
+                float(ind.relhaplo[j])
+            # dense transition columns
+            T = np.zeros((S, S))
+            for frm in range(S):
+                e_i = np.zeros(S)
+                e_i[frm] = 1.0
+                T[frm] = eng.transition(e_i, dist, selfgen, relh)
+            pxor = np.zeros(base)
+            for s in range(shiftend):
+                fbd = fbs[s]
+                w = math.exp(fbd["fw_post_f"][j] + fbd["bw_f"][j + 1])
+                e1 = eng.emission(ind, j + 1, s, -1)
+                joint = (fbd["fw_post"][j][:, None] * T *
+                         (e1 * fbd["bw"][j + 1])[None, :]) * w
+                for frm in range(S):
+                    for to in range(S):
+                        pxor[(frm ^ to) & (base - 1)] += joint[frm, to]
+            tot = pxor.sum()
+            if tot <= 0:
+                continue
+            pxor /= tot
+            for t in range(cfg.typebits):
+                want = sum(pxor[x] for x in range(base)
+                           if (x >> t) & 1)
+                np.testing.assert_allclose(P[b, j, t], want, atol=1e-9,
+                                           err_msg=f"{n} {j} {t}")
+
+
+def test_ext_driver_remap_distances_runs():
+    """Map re-estimation on the extended spaces through the full driver:
+    the re-estimated ped.actrec moves and stays in range, and the next
+    iteration consumes it without error."""
+    from cnf2freq_tpu.driver import Driver
+    from cnf2freq_tpu.utils.simulate import simulate_selfed
+
+    ped = simulate_selfed(n_lines=6, n_markers=10, generations=4, seed=2)
+    drv = Driver(ped, dtype=np.float64)
+    drv.remap_distances = True
+    drv.adaptive_relhaplo = False
+    drv.preprocess()
+    drv.iterate(early=True)
+    assert ped.actrec is not None
+    before = ped.actrec.copy()
+    drv.iterate(early=False)
+    assert np.isfinite(ped.actrec).all()
+    assert (ped.actrec <= 0).all()          # rates are negative logs
+    assert np.abs(ped.actrec - before).max() > 0

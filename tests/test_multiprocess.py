@@ -1,0 +1,130 @@
+"""Real multi-process ``jax.distributed`` execution (CPU backend).
+
+Round-3 verdict gap #3: all multi-device evidence was one process with a
+virtual mesh; ``parallel.multihost`` and the sharded-checkpoint contract
+had never run under an actual multi-controller runtime.  Here two OS
+processes (2 virtual CPU devices each) form a 4-device global mesh via a
+local coordinator, run the full ``Driver.iterate`` on the same synthetic
+cohort, and must produce identical replicated state; each process writes
+its checkpoint shard, and the shard set must concatenate into a file the
+plain ``deserialize`` accepts (the multi-host replacement for the
+reference's MPI loop, cnF2freq.cpp:5197-5242, 6245-6255)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2])
+coord = sys.argv[3]; outdir = sys.argv[4]
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax._src import xla_bridge as _xb
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+from cnf2freq_tpu.parallel.multihost import init_distributed, pod_mesh
+init_distributed(coordinator=coord, num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 2 * nproc, jax.devices()
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+from cnf2freq_tpu.driver import Driver
+from cnf2freq_tpu.utils import simulate_f2
+from cnf2freq_tpu.io.sharded_checkpoint import save_sharded
+
+ped = simulate_f2(n_f2=16, n_markers=12, n_founder_pairs=2, seed=21)
+drv = Driver(ped, dtype=np.float64, mesh=pod_mesh())
+drv.preprocess()
+infos = [drv.iterate(early=True), drv.iterate(early=False)]
+state = dict(
+    hw=np.stack([ped.by_id(n).haploweight for n in ped.dous]),
+    md=np.stack([ped.by_id(n).markerdata for n in ped.dous]),
+    ms=np.stack([ped.by_id(n).markersure for n in ped.dous]),
+    hitnnn=np.array([i["hitnnn"] for i in infos]),
+)
+np.savez(os.path.join(outdir, f"state_{pid}.npz"), **state)
+save_sharded(ped, os.path.join(outdir, "ckpt"),
+             meta={"iteration": 2},
+             process_index=jax.process_index(),
+             process_count=jax.process_count())
+print("WORKER_OK", pid, flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_distributed_iterate(tmp_path):
+    nproc = 2
+    coord = f"127.0.0.1:{_free_port()}"
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
+        "JAX_NUM_CPU_DEVICES": "2",
+    })
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(p), str(nproc), coord,
+         str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for p in range(nproc)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1200)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+        assert "WORKER_OK" in out, out[-3000:]
+
+    # identical replicated state on every process
+    states = [np.load(tmp_path / f"state_{p}.npz") for p in range(nproc)]
+    for key in ("hw", "md", "ms", "hitnnn"):
+        np.testing.assert_array_equal(states[0][key], states[1][key],
+                                      err_msg=key)
+
+    # each process wrote its own shard; the set concatenates into a
+    # deserialize-compatible file
+    ckpt = tmp_path / "ckpt"
+    manifest = json.loads((ckpt / "manifest.json").read_text())
+    assert manifest["shards"] == nproc
+    shard_files = sorted(ckpt.glob("shard-*.txt"))
+    assert len(shard_files) == nproc
+    assert all(f.stat().st_size > 0 for f in shard_files)
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from cnf2freq_tpu.io.outputs import deserialize
+    from cnf2freq_tpu.utils import simulate_f2
+    ped = simulate_f2(n_f2=16, n_markers=12, n_founder_pairs=2, seed=21)
+    from cnf2freq_tpu.driver import Driver
+    Driver(ped, dtype=np.float64).preprocess()
+    concat = tmp_path / "full_dump.txt"
+    with open(concat, "w") as f:
+        for sf in shard_files:
+            f.write(sf.read_text())
+    with open(concat) as f:
+        deserialize(ped, f)
+    hw = np.stack([ped.by_id(n).haploweight for n in ped.dous])
+    # dump rows carry the reference's fixed-precision text columns
+    np.testing.assert_allclose(hw, states[0]["hw"], atol=1e-5)
