@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""End-to-end Driver.iterate throughput for the non-default model
+families on the TPU: selfing, relskewstates, and the dedicated
+numgen==2 engine — the round-3 verdict's missing perf rows
+(BENCH covers the 64-state F2 scan; these are the spaces where the
+extended transitions give the MXU real work).
+
+Prints one JSON object; results recorded in docs/PERFORMANCE.md."""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+B = int(os.environ.get("BENCH_B", 1000))
+M = int(os.environ.get("BENCH_M", 192))
+ITERS = int(os.environ.get("BENCH_ITERS", 3))
+
+
+def measure(name, make_ped, **drv_kw):
+    from cnf2freq_tpu.driver import Driver
+    ped = make_ped()
+    drv = Driver(ped, dtype=np.float32, **drv_kw)
+    t0 = time.perf_counter()
+    drv.preprocess()
+    pre = time.perf_counter() - t0
+    drv.iterate(early=True)
+    drv.iterate(early=False)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        drv.iterate(early=False)
+    dt = (time.perf_counter() - t0) / ITERS
+    n_units = len(ped.dous)
+    return {
+        "family": name,
+        "units": n_units,
+        "markers": ped.num_markers,
+        "preprocess_s": round(pre, 1),
+        "steady_s_per_iteration": round(dt, 3),
+        "unit_markers_per_s": round(n_units * ped.num_markers / dt, 1),
+    }
+
+
+def main():
+    from cnf2freq_tpu.config import ModelConfig
+    from cnf2freq_tpu.utils import simulate_f2
+    from cnf2freq_tpu.utils.simulate import simulate_selfed
+
+    out = {"B": B, "M": M, "iters": ITERS}
+
+    def selfed():
+        return simulate_selfed(n_lines=B, n_markers=M, generations=4,
+                               marker_spacing_cm=1.0, seed=3)
+
+    def relskew():
+        ped = simulate_f2(n_f2=B, n_markers=M,
+                          n_founder_pairs=max(1, B // 50), seed=7)
+        ped.config = ModelConfig(relskewstates=True)
+        return ped
+
+    def ng2():
+        # two-generation analysis: the F2 units against their (aux) F1
+        # parents under the 4-state QTLMAS-shape config
+        ped = simulate_f2(n_f2=B, n_markers=M,
+                          n_founder_pairs=max(1, B // 50), seed=7)
+        ped.config = ModelConfig(numgen=2)
+        return ped
+
+    out["selfing"] = measure("selfing", selfed)
+    out["relskewstates"] = measure("relskewstates", relskew)
+    out["ng2"] = measure("ng2", ng2)
+    ref = 691.2
+    for k in ("selfing", "relskewstates", "ng2"):
+        out[k]["vs_reference_default_build"] = round(
+            out[k]["unit_markers_per_s"] / ref, 1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -221,8 +221,36 @@ def main():
     print(json.dumps({"battery": "done", "checks": len(RESULTS),
                       "failed": len(fails), "backend": backend}))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # drift tracking (round-3 verdict weak #5): compare each check's
+    # deviation against the previous recorded run and flag regressions
+    # that still sit under the hard tolerance — a slow numerical drift
+    # should be visible long before it fails
+    hist_path = os.path.join(here, "bench", "BATTERY_HISTORY.jsonl")
+    prev = None
+    try:
+        with open(hist_path) as f:
+            lines = f.read().splitlines()
+        if lines:
+            prev = {r["check"]: r for r in
+                    json.loads(lines[-1])["results"]
+                    if "max_dev" in r}
+    except FileNotFoundError:
+        pass
+    drift = []
+    if prev:
+        for r in RESULTS:
+            d = r.get("max_dev")
+            p = prev.get(r["check"], {}).get("max_dev")
+            if d is not None and p is not None and p > 0 and d > 2 * p:
+                drift.append({"check": r["check"], "prev": p, "now": d})
+    if drift:
+        print(json.dumps({"battery": "DRIFT", "entries": drift}))
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({"backend": backend,
+                            "results": RESULTS}) + "\n")
     with open(os.path.join(here, "BATTERY.json"), "w") as f:
-        json.dump({"backend": backend, "results": RESULTS}, f, indent=1)
+        json.dump({"backend": backend, "results": RESULTS,
+                   "drift_vs_previous": drift}, f, indent=1)
     return 1 if fails else 0
 
 

@@ -258,11 +258,23 @@ class Driver:
         if self.batch_size != "auto":
             return int(self.batch_size)
         itemsize = np.dtype(self.dtype).itemsize
-        per_unit = 6 * m_markers * 512 * itemsize
+        vmult = 1
+        if self.ext:
+            # extended spaces carry the V axis on every sweep tensor,
+            # evaluate the probe-dedup variants' stats in one program,
+            # and their stats temporaries tile-pad up to 16x (measured;
+            # an unscaled B=1000 ext scan kills the TPU compiler).
+            # The max(6, ...) floor covers low-variant configs whose
+            # live-tensor count still exceeds the 6-tensor model.
+            V = 3 if self.cfg.selfing else 2
+            vmult = V * max(6, self._n_variants() // 2)
+        per_unit = 6 * m_markers * 512 * itemsize * vmult
         bs = int(self.hbm_budget_bytes // per_unit)
         if bs >= n_units:
             return n_units
-        return max(1024, (bs // 1024) * 1024)
+        # the 8x128-tile lane quantum only applies to the v2 pipeline
+        q = 1024 if (not self.ext and self.cfg.numgen == 3) else 32
+        return max(q, (bs // q) * q)
 
     def _jitted_updates(self):
         key = ("param_updates",)
