@@ -130,7 +130,8 @@ def test_sharded_scan_merged_matches_single_device():
     mesh = make_mesh(4)
     fn = make_sharded_scan_merged(cfg, params, mesh, NI)
     with mesh:
-        total, pair, turn, hb, hc, inf, _coh = fn(fbj, dj, lutj, rj)
+        (total, pair, turn, hb, hc, inf, _coh, _recomb_sum,
+         _recomb_count) = fn(fbj, dj, lutj, rj)
 
     np.testing.assert_allclose(np.asarray(total), np.asarray(ref_res.total),
                                rtol=1e-9, atol=1e-12)

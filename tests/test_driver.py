@@ -339,9 +339,12 @@ def test_driver_extended_state_space_gates():
     assert drv.ext and drv.adaptive_relhaplo
     with pytest.raises(NotImplementedError):
         Driver(ped, parity=True)
+    # remap x ext was gated through round 3; round 4 closed it
+    # (recombination_expectations_ext) — it must now run.
     drv.remap_distances = True
-    with pytest.raises(NotImplementedError):
-        drv.iterate()
+    drv.preprocess()
+    drv.iterate(early=True)
+    assert ped.actrec is not None and np.isfinite(ped.actrec).all()
 
 
 def test_update_row_chunking_equivalence():
