@@ -1,17 +1,27 @@
 #!/usr/bin/env python
-"""Benchmark: one full per-iteration chromosome scan on the accelerator vs
-the reference's single-core CPU cost structure.
+"""Benchmark: per-iteration throughput of the TPU framework vs the
+reference binary's measured single-core doit rate.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints JSON result lines INCREMENTALLY (each a complete
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N} object,
+flushed immediately; the LAST line printed is the round's result):
 
-The workload is the per-iteration compute of a 1000-individual F2
-chromosome scan (BASELINE.json config): emissions, forward-backward over
-all shift modes, posterior update statistics (haplotype + genotype), turn
-likelihoods.  The baseline denominator is bench/cpu_baseline.cc — a fresh
-single-core implementation of the reference's per-iteration algorithm
-(per-probe emission recursions, dense 64x64 transitions), timed on this
-host.
+  1. scan-only throughput, as soon as the chained chromosome scan is
+     timed — a cold-compile run that later hits its timeout has still
+     produced a parsable result;
+  2. the headline metric — one complete Driver.iterate (scan +
+     coherence + phase flips + capped-GD updates) at the BASELINE
+     workload — re-printed after EVERY timed iteration, upgrading the
+     measurement while budget remains.
+
+Wall-clock budget: BENCH_BUDGET_S (default 2700 s).  Stages check the
+remaining budget before starting and shrink or skip themselves rather
+than dying mid-flight with nothing printed (the round-4 failure mode:
+rc=124, parsed: null).
+
+The baseline denominator is the measured reference binary's doit rate
+at this exact workload (bench/ref_rate.json, bench/ref_baseline.py);
+fallback: bench/cpu_baseline.cc stand-in.
 """
 
 import json
@@ -20,13 +30,21 @@ import subprocess
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 B = int(os.environ.get("BENCH_B", 1000))
 M = int(os.environ.get("BENCH_M", 192))
-REPS = int(os.environ.get("BENCH_REPS", 5))
+REPS = int(os.environ.get("BENCH_REPS", 3))
+BUDGET = float(os.environ.get("BENCH_BUDGET_S", 2700))
+_T0 = time.time()
+
+
+def remaining() -> float:
+    return BUDGET - (time.time() - _T0)
+
+
+def emit(result: dict):
+    print(json.dumps(result), flush=True)
 
 
 def reference_rate():
@@ -87,8 +105,8 @@ def _check_tunnel():
         sys.exit(3)
 
 
-def main():
-    _check_tunnel()
+def scan_stage(base, detail_common):
+    """Chained chromosome-scan throughput; returns (rate, seconds)."""
     import jax
     import jax.numpy as jnp
 
@@ -96,6 +114,8 @@ def main():
     from cnf2freq_tpu.engine import chromosome_scan
     from cnf2freq_tpu.hmm.family import gather_family
     from cnf2freq_tpu.utils import simulate_f2
+
+    import numpy as np
 
     dtype = np.float32
     ped = simulate_f2(n_f2=B, n_markers=M, n_founder_pairs=max(1, B // 50),
@@ -126,9 +146,8 @@ def main():
                 + out.pair.sum()
             return (s * 1e-30, acc + s)
 
-        import jax.numpy as jnp_
         return jax.lax.fori_loop(
-            0, K, body, (jnp_.float32(0.0), jnp_.float32(0.0)))[1]
+            0, K, body, (jnp.float32(0.0), jnp.float32(0.0)))[1]
 
     fbj = fb.map(jnp.asarray)
     dj = jnp.asarray(dists)
@@ -136,56 +155,93 @@ def main():
     # the tunneled axon platform
     _ = float(np.asarray(chained(fbj, dj)))   # compile + warm
     t0 = time.perf_counter()
-    sink = 0.0
     for _ in range(REPS):
-        sink += float(np.asarray(chained(fbj, dj)))
+        _ = float(np.asarray(chained(fbj, dj)))
     dt = (time.perf_counter() - t0) / (REPS * K)
-
     rate = B * M / dt
-    standin = cpu_baseline_rate()
-    refrate, refinfo = reference_rate()
-    base = refrate if refrate else standin
 
-    # full end-to-end Driver.iterate (scan + coherence + flips +
-    # capped-GD updates + host orchestration) — the resident
-    # device-state path; steady state after compile
+    emit({
+        "metric": "F2 chromosome-scan throughput (fwd-bwd + posterior "
+                  "stats, 1k-individual workload; scan stage only)",
+        "value": round(rate, 1),
+        "unit": "individual-markers/s",
+        "vs_baseline": round(rate / base, 1),
+        "detail": dict(detail_common, stage="scan_only",
+                       scan_only_seconds=round(dt, 4)),
+    })
+    return rate, dt
+
+
+def full_stage(base, scan_rate, scan_dt, detail_common):
+    """The headline metric: full end-to-end Driver.iterate (scan +
+    coherence + flips + capped-GD updates + host orchestration) — the
+    resident device-state path; steady state after compile.  Emits an
+    upgraded result line after every timed iteration."""
+    import numpy as np
+
     from cnf2freq_tpu.driver import Driver
-    ped2 = simulate_f2(n_f2=B, n_markers=M,
-                       n_founder_pairs=max(1, B // 50), seed=7)
-    drv = Driver(ped2, dtype=np.float32)
+    from cnf2freq_tpu.utils import simulate_f2
+
+    ped = simulate_f2(n_f2=B, n_markers=M,
+                      n_founder_pairs=max(1, B // 50), seed=7)
+    drv = Driver(ped, dtype=np.float32)
     drv.preprocess()
     drv.iterate(early=True)
     drv.iterate(early=False)      # compile the non-early stages
-    t0 = time.perf_counter()
     full_iters = int(os.environ.get("BENCH_FULL_ITERS", 3))
+    times = []
     for _ in range(full_iters):
+        if times and remaining() < 3 * max(times):
+            break
+        t0 = time.perf_counter()
         drv.iterate(early=False)
-    full_dt = (time.perf_counter() - t0) / full_iters
-    full_rate = B * M / full_dt
+        times.append(time.perf_counter() - t0)
+        full_dt = float(np.median(times))
+        full_rate = B * M / full_dt
+        emit({
+            "metric": "F2 full-iteration throughput (complete Driver."
+                      "iterate: scan+coherence+flips+updates, "
+                      "1k-individual workload)",
+            "value": round(full_rate, 1),
+            "unit": "individual-markers/s",
+            "vs_baseline": round(full_rate / base, 1),
+            "detail": dict(
+                detail_common,
+                stage="full_iteration",
+                full_iteration_seconds=round(full_dt, 4),
+                full_iterations_timed=len(times),
+                scan_only_seconds=round(scan_dt, 4),
+                scan_only_ind_markers_per_s=round(scan_rate, 1),
+                scan_only_vs_baseline=round(scan_rate / base, 1)),
+        })
 
-    result = {
-        "metric": "F2 full-iteration throughput (complete Driver."
-                  "iterate: scan+coherence+flips+updates, 1k-individual"
-                  " workload)",
-        "value": round(full_rate, 1),
-        "unit": "individual-markers/s",
-        "vs_baseline": round(full_rate / base, 1),
-        "detail": {
-            "B": B, "M": M,
-            "full_iteration_seconds": round(full_dt, 4),
-            "scan_only_seconds": round(dt, 4),
-            "scan_only_ind_markers_per_s": round(rate, 1),
-            "scan_only_vs_baseline": round(rate / base, 1),
-            "baseline_source": ("measured reference binary "
-                                "(bench/ref_rate.json)" if refrate
-                                else "cpu_baseline.cc stand-in"),
-            "reference_ind_markers_per_s": refrate,
-            "cpu_standin_ind_markers_per_s": round(standin, 1),
-            "device": str(jax.devices()[0]),
-            "dtype": "float32",
-        },
+
+def main():
+    _check_tunnel()
+    import jax
+
+    refrate, refinfo = reference_rate()
+    base = refrate if refrate else cpu_baseline_rate()
+    detail_common = {
+        "B": B, "M": M,
+        "baseline_source": ("measured reference binary "
+                            "(bench/ref_rate.json)" if refrate
+                            else "cpu_baseline.cc stand-in"),
+        "reference_ind_markers_per_s": refrate,
+        "device": str(jax.devices()[0]),
+        "dtype": "float32",
     }
-    print(json.dumps(result))
+
+    scan_rate, scan_dt = scan_stage(base, detail_common)
+
+    # the full stage needs preprocess (~200 s at B=1000) + per-stage
+    # compiles (minutes cold, seconds behind the persistent cache) —
+    # only start it with a believable budget left
+    if remaining() < float(os.environ.get("BENCH_FULL_MIN_S", 300)):
+        print("# budget exhausted after scan stage; scan-only result "
+              "stands", file=sys.stderr)
+        return
+    full_stage(base, scan_rate, scan_dt, detail_common)
 
 
 if __name__ == "__main__":
