@@ -742,18 +742,30 @@ class Driver:
             for b0 in range(0, len(dous), bs):
                 chunk = dous[b0:b0 + bs]
                 with self.tracer.span("gather"):
-                    fbatch = gather_family(ped, chunk, lo, hi - 1,
-                                           dtype=self.dtype,
-                                           mask_mode=self.mask_mode,
-                                           parity=self.parity,
-                                           n_variants=self._n_variants(),
-                                           light=fast)
-                    if not fast and Mp > Mc:
-                        from .parallel.mesh import pad_markers
-                        fbatch = pad_markers(fbatch, Mp)
-                    if len(chunk) < bs:
-                        from .parallel.mesh import pad_batch
-                        fbatch = pad_batch(fbatch, bs)
+                    # the light batch skeleton (slot indices, masks,
+                    # descendants) is pedigree structure — static across
+                    # iterations; cache it (and its device upload) per
+                    # (chromosome, chunk)
+                    fbkey = ("fb_light", c, b0, bs, self.mask_mode)
+                    cached = self._scan_cache.get(fbkey) if fast else None
+                    if cached is not None and cached[0] == chunk:
+                        fbatch, fb_skel = cached[1], cached[2]
+                    else:
+                        fbatch = gather_family(
+                            ped, chunk, lo, hi - 1, dtype=self.dtype,
+                            mask_mode=self.mask_mode, parity=self.parity,
+                            n_variants=self._n_variants(), light=fast)
+                        if not fast and Mp > Mc:
+                            from .parallel.mesh import pad_markers
+                            fbatch = pad_markers(fbatch, Mp)
+                        if len(chunk) < bs:
+                            from .parallel.mesh import pad_batch
+                            fbatch = pad_batch(fbatch, bs)
+                        fb_skel = fbatch.map(jnp.asarray) if fast \
+                            else None
+                        if fast:
+                            self._scan_cache[fbkey] = (list(chunk),
+                                                       fbatch, fb_skel)
                     if self.mesh is not None:
                         from .parallel.mesh import shard_batch
                         fbj = shard_batch(fbatch, self.mesh)
@@ -762,7 +774,7 @@ class Driver:
                         # iteration ScanCohort upload (resident.py) —
                         # replaces the dominant per-chunk host transfer
                         fbj = self._fill_family_dev(
-                            fbatch.map(jnp.asarray), fbatch.slot_ind,
+                            fb_skel, fbatch.slot_ind,
                             lut, lo, Mp, ids)
                     else:
                         fbj = fbatch.map(jnp.asarray)
@@ -932,19 +944,27 @@ class Driver:
                         apply_flips(ped, winner, c, haplobase, haplocount,
                                     ind_index)
                         if fast:
-                            accum.flip_rows(
-                                [(ind_index[n], m)
-                                 for n, m in winner.flips
-                                 if n in ind_index], hi)
+                            rows_flips = [(ind_index[n], m)
+                                          for n, m in winner.flips
+                                          if n in ind_index]
+                            accum.flip_rows(rows_flips, hi)
+                            self._flip_param(accum, rows_flips, hi)
             else:
                 winners.append(None)
             if self.remap_distances:
                 self._apply_recomb(lo, hi, remap_acc)
 
-        if need_coh:
+        # fast path with haplotyping: the adaptive-relhaplo refresh runs
+        # inside the resident update program (straight from the device
+        # cnum/cden partials, same arithmetic) — no separate readback
+        rh_in_updates = fast and need_coh and cfg.haplotyping
+        if need_coh and not rh_in_updates:
             if fast:
-                coh_num = np.asarray(accum.cnum, dtype=np.float64)
-                coh_den = np.asarray(accum.cden, dtype=np.float64)
+                import jax
+                coh_num, coh_den = jax.device_get((accum.cnum,
+                                                   accum.cden))
+                coh_num = coh_num.astype(np.float64)
+                coh_den = coh_den.astype(np.float64)
             got = coh_den > 0
             vals = np.where(got, coh_num / np.maximum(coh_den, 1), 0.5)
             for n, i in ind_index.items():
@@ -1021,6 +1041,57 @@ class Driver:
         self._md_ms_cache = (st.iter, out)
         return out
 
+    def _param_dev(self, ids):
+        """Device haploweight/relhaplo mirrors for the resident path.
+
+        Like _md_ms_dev: the f64 host copies are compared exactly
+        against the pedigree each iteration, so last iteration's
+        update-program outputs are reused without an upload unless
+        something external (deserialize, masking, preprocess) mutated
+        the host state.  Mid-iteration phase flips go through
+        _flip_param, which applies the identical inversion to the host
+        copy and the device mirror."""
+        import jax.numpy as jnp
+        st = self.state
+        cur = getattr(self, "_param_cache", None)
+        if cur is not None and cur[0] == st.iter:
+            return cur[1]
+        ped = self.ped
+        M = ped.num_markers
+        hw = np.stack([ped.by_id(n).haploweight for n in ids])
+        if self.cfg.relskews or self.cfg.relskewstates:
+            rh = np.stack([ped.by_id(n).relhaplo
+                           if ped.by_id(n).relhaplo is not None
+                           else np.full(M, 0.5) for n in ids])
+        else:
+            rh = np.zeros_like(hw)
+        mirror = getattr(self, "_param_mirror", None)
+        dtype = np.dtype(self.dtype)
+        if mirror is not None and np.array_equal(mirror["hw"], hw) \
+                and np.array_equal(mirror["rh"], rh):
+            out = (mirror["hwj"], mirror["rhj"])
+        else:
+            out = (jnp.asarray(hw.astype(dtype)),
+                   jnp.asarray(rh.astype(dtype)))
+            self._param_mirror = dict(hw=hw, rh=rh, hwj=out[0],
+                                      rhj=out[1])
+        self._param_cache = (st.iter, out)
+        return out
+
+    def _flip_param(self, accum, flips, hi):
+        """Mirror apply_flips' haploweight inversion onto the device hw
+        mirror and its host copy (exact same arithmetic, so the
+        host-equality fast path in _param_dev keeps holding)."""
+        if not flips:
+            return
+        hwj, rhj = self._param_cache[1]
+        hwj = accum.flip_hw(hwj, flips, hi)
+        mirror = self._param_mirror
+        for r, m in flips:
+            mirror["hw"][r, m + 1:hi] = 1.0 - mirror["hw"][r, m + 1:hi]
+        mirror["hwj"] = hwj
+        self._param_cache = (self.state.iter, (hwj, rhj))
+
     def _scan_cohort(self, ids):
         """Per-iteration device cohort tensors in the padded marker
         layout (resident.ScanCohort); rebuilt each iteration (hw/md/ms
@@ -1041,9 +1112,13 @@ class Driver:
             layout.append((lo, hi, plo, Mp))
             plo += Mp
         mdj, msj = self._md_ms_dev(ids)
+        hwj, rhj = self._param_dev(ids)
         cohort = ScanCohort(ped, ids, np.dtype(self.dtype), layout,
                             with_rh=self.cfg.relskewstates,
                             dev_md=mdj, dev_ms=msj,
+                            dev_hw=hwj,
+                            dev_rh=rhj if self.cfg.relskewstates
+                            else None,
                             progs=self._scan_cache)
         self._scan_cohort_cache = (st.iter, cohort)
         return cohort
@@ -1095,8 +1170,13 @@ class Driver:
     def _updates_resident(self, ids, accum, scalefactor) -> int:
         """Device-path parameter updates: processinfprobs then
         updatehaploweights straight from the resident accumulators
-        (cnF2freq.cpp:4179-4323, 4533-4734); only the final
-        per-individual state and change masks cross the host link."""
+        (cnF2freq.cpp:4179-4323, 4533-4734), plus — when measured
+        coherence is on — the adaptive-relhaplo refresh, all in one
+        program.  hw/rh come from the device mirrors (_param_dev, flips
+        already applied on device), so no per-iteration upload; the
+        final per-individual state crosses the link in ONE batched
+        transfer."""
+        import jax
         import jax.numpy as jnp
 
         from .resident import gather_cohort_static, make_resident_updates
@@ -1104,54 +1184,55 @@ class Driver:
         NI, M = accum.NI, accum.Mtot
         C = ped.num_chromosomes
         ranges = tuple(ped.chromosome_range(c) for c in range(C))
+        with_coh = bool(accum.with_coh and self.adaptive_relhaplo)
         skey = ("resident_static",)
         if skey not in self._scan_cache:
             self._scan_cache[skey] = gather_cohort_static(ped, ids,
                                                           self.dtype)
         static = self._scan_cache[skey]
-        ukey = ("resident_updates", NI, M, ranges)
+        ukey = ("resident_updates", NI, M, ranges, with_coh)
         if ukey not in self._scan_cache:
             self._scan_cache[ukey] = make_resident_updates(
-                cfg, self.params, ranges, NI, M)
+                cfg, self.params, ranges, NI, M, with_coh=with_coh)
         run_updates = self._scan_cache[ukey]
 
         dtype = np.dtype(self.dtype)
         with self.tracer.span("stack"):
-            hw = np.stack([ped.by_id(n).haploweight
-                           for n in ids]).astype(dtype)
-            if cfg.relskews:
-                rh = np.stack(
-                    [ped.by_id(n).relhaplo if ped.by_id(n).relhaplo
-                     is not None else np.full(ped.num_markers, 0.5)
-                     for n in ids]).astype(dtype)
-            else:
-                rh = np.zeros_like(hw)
             lastinv_c = np.stack(
                 [[ped.by_id(n).lastinved[c] != -1 for c in range(C)]
                  for n in ids]).astype(bool)
         sfj = jnp.asarray(dtype.type(scalefactor))
         with self.tracer.span("device"):
             mdj, msj = self._md_ms_dev(ids)
-            (newmd, newms, newmd8, take, newhw, active,
-             hits_dev) = run_updates(
+            hwj, rhj = self._param_dev(ids)   # post-flip device mirrors
+            coh_args = dict(cnum=accum.cnum, cden=accum.cden,
+                            has_rh=static.has_rh) if with_coh else {}
+            (newmd, newms, newmd8, take, newhw, active, hits_dev,
+             hw_full, rh_new, got) = run_updates(
                 accum.inf, mdj, msj, static.prior, static.priorsure,
                 static.has_prior, static.children, static.eligible,
-                jnp.asarray(hw), accum.hb, accum.hc, jnp.asarray(rh),
-                static.descendants, jnp.asarray(lastinv_c), sfj)
-            newmd_h = np.asarray(newmd8)
-            newms_h = np.asarray(newms)
-            take_h = np.asarray(take)
-            newhw_h = np.asarray(newhw, dtype=np.float64)
-            act_h = np.asarray(active)
-            hits = int(hits_dev)
-            # next iteration reuses the device outputs as its md/ms
-            # inputs when the pedigree still matches this host mirror
+                hwj, accum.hb, accum.hc, rhj,
+                static.descendants, jnp.asarray(lastinv_c), sfj,
+                **coh_args)
+            # one batched host transfer: device_get issues every copy
+            # async before blocking (vs one serialized round trip per
+            # np.asarray — the tunnel's per-transfer latency dominated)
+            pulls = [newmd8, newms, take, newhw, active, hits_dev]
+            if with_coh:
+                pulls += [rh_new, got]
+            host = jax.device_get(tuple(pulls))
+            newmd_h, newms_h, take_h, newhw_h, act_h, hits_h = host[:6]
+            newhw_h = newhw_h.astype(np.float64)
+            hits = int(hits_h)
+            # next iteration reuses the device outputs as its inputs
+            # when the pedigree still matches the host mirrors
             self._update_mirror = dict(md=newmd_h, ms=newms_h,
                                        mdj=newmd, msj=newms)
             newms_h = newms_h.astype(np.float64)
         with self.tracer.span("writeback"):
             # masked writeback: untouched lanes keep their full-precision
             # host values (the device pipeline may run at f32)
+            mirror = self._param_mirror
             for i, n in enumerate(ids):
                 ind = ped.by_id(n)
                 a = act_h[i]
@@ -1160,6 +1241,18 @@ class Driver:
                 if t.any():
                     ind.markerdata[t] = newmd_h[i][t]
                     ind.markersure[t] = newms_h[i][t]
+            mirror["hw"][act_h] = newhw_h[act_h]
+            mirror["hwj"] = hw_full
+            if with_coh:
+                rh_h = host[6].astype(np.float64)
+                got_h = host[7]
+                for i, n in enumerate(ids):
+                    ind = ped.by_id(n)
+                    g = got_h[i]
+                    if ind.relhaplo is not None and g.any():
+                        ind.relhaplo[g] = rh_h[i][g]
+                        mirror["rh"][i][g] = rh_h[i][g]
+                mirror["rhj"] = rh_new
         return hits
 
     def _accumulate_recomb(self, nb, Mc, fbj, dj, res, rj, acc):
@@ -1299,20 +1392,36 @@ class Driver:
         with_skew = bool(self.cfg.relskews)
         dt = weight_parts[0].dtype
         if with_skew:
-            hw = np.stack([ped.by_id(n).haploweight[s0:s0 + Mh]
-                           for n in dous])
-            rh = np.stack([ped.by_id(n).relhaplo[s0:s0 + Mh]
-                           for n in dous])
-            if skew_rows is not None:
-                hb, hc = skew_rows
-            elif accum is not None:
-                # device views of the resident accumulators (no readback)
+            if accum is not None:
+                # device views: hb/hc from the resident accumulators,
+                # hw/rh from the parameter mirrors (pre-flip at scoring
+                # time, exactly like the host stacks they replace)
                 rows = np.array([ind_index[n] for n in dous])
                 hb, hc = accum.rows_slice(rows, s0, M)
+                hwj, rhj = self._param_cache[1]
+                rk = ("param_rows", s0, Mh, hwj.shape)
+                if rk not in self._scan_cache:
+                    import jax
+
+                    @jax.jit
+                    def take_rows(hwj, rhj, rows):
+                        return (hwj[rows, s0:s0 + Mh],
+                                rhj[rows, s0:s0 + Mh])
+                    self._scan_cache[rk] = take_rows
+                import jax.numpy as jnp
+                hw, rh = self._scan_cache[rk](hwj, rhj,
+                                              jnp.asarray(rows))
             else:
-                rows = np.array([ind_index[n] for n in dous])
-                hb = haplobase[rows][:, s0:s0 + M]
-                hc = haplocount[rows][:, s0:s0 + M]
+                hw = np.stack([ped.by_id(n).haploweight[s0:s0 + Mh]
+                               for n in dous])
+                rh = np.stack([ped.by_id(n).relhaplo[s0:s0 + Mh]
+                               for n in dous])
+                if skew_rows is not None:
+                    hb, hc = skew_rows
+                else:
+                    rows = np.array([ind_index[n] for n in dous])
+                    hb = haplobase[rows][:, s0:s0 + M]
+                    hc = haplocount[rows][:, s0:s0 + M]
         else:
             hw = rh = hb = hc = np.zeros((B, Mh))
         varlists, pat, allowed, comp_struct, comp_of_fam = \
@@ -1331,10 +1440,19 @@ class Driver:
                 jnp.asarray(desc.astype(dt)), jnp.asarray(tsel),
                 k=k, with_skew=with_skew, halo=halo,
                 compress=dt == np.float32)
-            idx = np.asarray(idx) + marker_offset
-            mg = np.asarray(mg)
-            gains = _host_value(gains).astype(np.float64)  # [B, k]
-            S_top = _host_value(S_top).astype(np.float64)  # [B, k, P]
+            import jax
+            if jax.process_count() > 1:
+                idx = np.asarray(idx) + marker_offset
+                mg = np.asarray(mg)
+                gains = _host_value(gains).astype(np.float64)  # [B, k]
+                S_top = _host_value(S_top).astype(np.float64)  # [B, k, P]
+            else:
+                # one batched transfer (parallel async copies)
+                idx, mg, gains, S_top = jax.device_get(
+                    (idx, mg, gains, S_top))
+                idx = idx + marker_offset
+                gains = gains.astype(np.float64)
+                S_top = S_top.astype(np.float64)
         return idx, mg, gains, S_top
 
     def _chromosome_blocked(self, c, lo, hi, dous, haplobase, haplocount,

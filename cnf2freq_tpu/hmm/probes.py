@@ -659,9 +659,94 @@ def pair_coherence_from_ej(fbres: FBResult, e_j: jnp.ndarray,
     return jnp.concatenate([c, pad], axis=1)
 
 
+def pair_chain(fbres: FBResult, e: jnp.ndarray,
+               lam: jnp.ndarray) -> jnp.ndarray:
+    """<(fw_pre . e)[m], T_m ((e . bw)[m+1])> with shift-mode weights:
+    the pairwise-joint contraction underlying coherence, for ONE signed
+    emission tensor e [B, M, NS, S].  Returns [B, M-1]."""
+    from .transition import apply_transition
+    logw = fbres.fw_pre_f[:, :-1, :] + fbres.bw_f[:, 1:, :]
+    logw = logw - logw.max(axis=-1, keepdims=True)
+    w = jnp.exp(logw)                                   # [B, M-1, NS]
+    x = fbres.fw_pre[:, :-1] * e[:, :-1]                # [B,M-1,NS,S]
+    xt = apply_transition(x, lam[:, None, :])
+    y = e[:, 1:] * fbres.bw[:, 1:]
+    return jnp.einsum("zmag,zmag,zma->zm", xt, y, w)
+
+
+def pair_coherence_from_parity(fbres: FBResult, e_par: jnp.ndarray,
+                               lam: jnp.ndarray,
+                               tot: jnp.ndarray) -> jnp.ndarray:
+    """C[b, m] from the PARITY-signed emission e_par = e_{j=0} - e_{j=1}
+    and the (slot-independent, shared) pair total ``tot`` =
+    pair_chain(e_all).
+
+    Same statistic as pair_coherence_from_ej at half the big-tensor
+    traffic: with corr = <par_m, T par_{m+1}> = same - diff and
+    tot = same + diff, C = same/tot = (tot + corr) / (2 tot)."""
+    B = e_par.shape[0]
+    dtype = e_par.dtype
+    corr = pair_chain(fbres, e_par, lam)
+    c = jnp.where(tot > 0,
+                  0.5 + 0.5 * corr / jnp.where(tot > 0, tot, 1.0), 0.5)
+    pad = jnp.full((B, 1), 0.5, dtype=dtype)
+    return jnp.concatenate([c, pad], axis=1)
+
+
+def _phase_parity_emission(blocks: EmissionBlocks, fb: FamilyBatch,
+                           cfg: ModelConfig, slot: int) -> jnp.ndarray:
+    """E_par[b, m, s]: the parity-signed emission
+    e_{j=0} - e_{j=1} of the given slot's phase-interpretation bit,
+    summed over all other path freedom — half the tensor traffic of the
+    j-resolved form (the indicator is one-hot over j, so the signed
+    contraction carries the same information)."""
+    dtype = blocks.froot.dtype
+    V = [_valid_paths(fb.flag2ignore, k).astype(dtype) for k in range(2)]
+    froot, pb = blocks.froot, blocks.pb
+    pbs = [jnp.einsum("zmrfps,zp->zmrfs", pb[k], V[k]) for k in range(2)]
+
+    if slot == 0:
+        PARF = jnp.asarray(_IND_FOCAL[..., 0].astype(np.int8)
+                           - _IND_FOCAL[..., 1].astype(np.int8), dtype)
+        e = jnp.einsum("zmrt,zmrau,zmrbv,rt->zmvutba",
+                       froot, pbs[0], pbs[1], PARF)
+    else:
+        k = 0 if slot < cfg.parent_slot(1) else 1
+        local = slot - cfg.parent_slot(k)
+        IND = _IND_PARENT if local == 0 else _IND_GP[local - 1]
+        PAR = jnp.asarray(IND[..., 0].astype(np.int8)
+                          - IND[..., 1].astype(np.int8), dtype)
+        ph = jnp.einsum("zmrfps,zp,fps->zmrfs", pb[k], V[k], PAR)
+        if k == 0:
+            e = jnp.einsum("zmrt,zmrau,zmrbv->zmvutba",
+                           froot, ph, pbs[1])
+        else:
+            e = jnp.einsum("zmrt,zmrbv,zmrau->zmvutba",
+                           froot, ph, pbs[0])
+    B, M = e.shape[:2]
+    return e.reshape(B, M, cfg.numshifts, cfg.numtypes)
+
+
+def phase_pair_total(fbres: FBResult, blocks: EmissionBlocks,
+                     fb: FamilyBatch, cfg: ModelConfig,
+                     lam: jnp.ndarray) -> jnp.ndarray:
+    """The slot-independent pair total: pair_chain over the plain
+    path-summed emission (what every slot's jmat sums to).  Computed
+    once and shared across the numslots coherence columns."""
+    dtype = blocks.froot.dtype
+    V = [_valid_paths(fb.flag2ignore, k).astype(dtype) for k in range(2)]
+    froot, pb = blocks.froot, blocks.pb
+    pbs = [jnp.einsum("zmrfps,zp->zmrfs", pb[k], V[k]) for k in range(2)]
+    e = jnp.einsum("zmrt,zmrau,zmrbv->zmvutba", froot, pbs[0], pbs[1])
+    B, M = e.shape[:2]
+    e = e.reshape(B, M, cfg.numshifts, cfg.numtypes)
+    return pair_chain(fbres, e, lam)
+
+
 def phase_coherence_slot(fbres: FBResult, blocks: EmissionBlocks,
                          fb: FamilyBatch, cfg: ModelConfig,
-                         lam: jnp.ndarray, slot: int) -> jnp.ndarray:
+                         lam: jnp.ndarray, slot: int,
+                         tot: jnp.ndarray = None) -> jnp.ndarray:
     """C[b, m]: posterior P(phase bit of `slot` equal at markers m, m+1);
     the last column is 0.5 padding.
 
@@ -669,10 +754,14 @@ def phase_coherence_slot(fbres: FBResult, blocks: EmissionBlocks,
     reference's ShapeIT ensemble path fills it from sampled phase
     switches, cnF2freq.cpp:7029-7067; the PlantImpute path leaves it at
     0.5).  Computed from the pairwise joint
-    fw_pre[m] * E_j[m] * T_m * E_j'[m+1] * bw[m+1] per shift mode.
-    One slot per call keeps peak memory bounded at large B*M."""
-    e_j = _phase_resolved_emission(blocks, fb, cfg, slot)
-    return pair_coherence_from_ej(fbres, e_j, lam)
+    fw_pre[m] * E_par[m] * T_m * E_par[m+1] * bw[m+1] per shift mode in
+    parity (signed) form; ``tot`` optionally supplies the shared
+    phase_pair_total (recomputed here when absent).  One slot per call
+    keeps peak memory bounded at large B*M."""
+    if tot is None:
+        tot = phase_pair_total(fbres, blocks, fb, cfg, lam)
+    e_par = _phase_parity_emission(blocks, fb, cfg, slot)
+    return pair_coherence_from_parity(fbres, e_par, lam, tot)
 
 
 def phase_coherence(fbres: FBResult, blocks: EmissionBlocks,

@@ -168,6 +168,40 @@ class ResidentAccum:
                 self.hb, self.hc, jnp.asarray(rows), jnp.asarray(starts),
                 hi, len(part))
 
+    # -- haploweight mirror flip --------------------------------------
+    def _flip_hw_prog(self):
+        key = ("resident_fliphw", self.NI, self.Mtot, str(self.dtype))
+        if key not in self._progs:
+            Mtot = self.Mtot
+
+            @partial(jax.jit, donate_argnums=_donate(0))
+            def flip(hw, rows, starts, hi, k):
+                m = jnp.arange(Mtot)
+
+                def body(i, hw):
+                    r = rows[i]
+                    sel = (m > starts[i]) & (m < hi) & (i < k)
+                    row = jnp.where(sel, 1.0 - hw[r], hw[r])
+                    return hw.at[r].set(row)
+                return jax.lax.fori_loop(0, MAX_FLIPS, body, hw)
+            self._progs[key] = flip
+        return self._progs[key]
+
+    def flip_hw(self, hwj, flips: List[Tuple[int, int]], hi: int):
+        """The device haploweight-mirror form of apply_flips
+        (negshifter, cnF2freq.cpp:3437-3460): hw[row, m+1:hi] ->
+        1 - hw[row, m+1:hi].  Returns the flipped [NI, Mtot] array."""
+        for at in range(0, len(flips), MAX_FLIPS):
+            part = flips[at:at + MAX_FLIPS]
+            rows = np.zeros(MAX_FLIPS, dtype=np.int32)
+            starts = np.full(MAX_FLIPS, self.Mtot, dtype=np.int32)
+            for i, (r, mm) in enumerate(part):
+                rows[i], starts[i] = r, mm
+            hwj = self._flip_hw_prog()(
+                hwj, jnp.asarray(rows), jnp.asarray(starts), hi,
+                len(part))
+        return hwj
+
     # -- scorer views -------------------------------------------------
     def _rows_prog(self, s0: int, span: int):
         key = ("resident_rows", self.NI, self.Mtot, str(self.dtype), s0, span)
@@ -208,6 +242,14 @@ def make_coherence_all(cfg: ModelConfig, params: RuntimeParams,
         cols = []
         prev = jnp.zeros((), dtype=dtype)
         pair_acc = jnp.zeros((), dtype=dtype)
+        tot = None
+        if cfg.numgen != 2:
+            # slot-independent pair total, shared by every column
+            from .hmm.emission import build_blocks
+            from .hmm.probes import phase_pair_total
+            tot = phase_pair_total(fbres,
+                                   build_blocks(fb, cfg, dtype=dtype),
+                                   fb, cfg, lam)
         for slot in range(cfg.numslots):
             # serialise in PAIRS: two slots' temporaries fit HBM
             # concurrently (one chain is ~3 GiB at B=1000, M=192 f32;
@@ -224,7 +266,7 @@ def make_coherence_all(cfg: ModelConfig, params: RuntimeParams,
                 from .hmm.probes import phase_coherence_slot
                 blocks = build_blocks(fb_s, cfg, dtype=dtype)
                 c = phase_coherence_slot(fbres, blocks, fb_s, cfg, lam,
-                                         slot)
+                                         slot, tot=tot)
             pair_acc = pair_acc + c[0, 0]
             if slot % 2 == 1:
                 prev, pair_acc = prev + pair_acc, jnp.zeros((),
@@ -281,22 +323,37 @@ def make_scatter_coh_ext(cfg: ModelConfig, num_individuals: int,
 
 def make_resident_updates(cfg: ModelConfig, params: RuntimeParams,
                           chrom_ranges: Tuple[Tuple[int, int], ...],
-                          num_individuals: int, Mtot: int):
+                          num_individuals: int, Mtot: int,
+                          with_coh: bool = False):
     """Jitted whole-cohort update programs consuming device buffers.
 
     run_haplo: updatehaploweights (cnF2freq.cpp:4533-4734) including the
     in-program relskew ratio per chromosome and the active-lane mask.
     run_inf: processinfprobs (cnF2freq.cpp:4179-4323) including the
     best-candidate genotype pick (cnF2freq.cpp:4298-4306), returning the
-    new markerdata/markersure so only final state crosses the link."""
+    new markerdata/markersure so only final state crosses the link.
+
+    with_coh: the adaptive-relhaplo refresh runs IN-PROGRAM from the
+    resident coherence partials (cnum/cden) before the relskew ratio
+    consumes rh — same arithmetic as the host block in Driver.iterate
+    (relhaplo = clip(num/max(den,1)) on measured lanes, untouched
+    elsewhere), so the classic and resident paths stay pinned equal."""
     from .updates import relskew_ratio
     from .updates.parameter_updates import (update_haploweights,
                                             update_infprobs)
 
     @jax.jit
     def run_updates(inf, md, ms, prior, priorsure, has_prior, children,
-                    eligible, hw, hb, hc, rh, desc, lastinv_c, sf):
+                    eligible, hw, hb, hc, rh, desc, lastinv_c, sf,
+                    cnum=None, cden=None, has_rh=None):
         dtype = hw.dtype
+        if with_coh:
+            got = cden > 0
+            vals = jnp.where(got, cnum / jnp.maximum(cden, 1), 0.5)
+            rh = jnp.where(got & has_rh[:, None],
+                           jnp.clip(vals, 1e-4, 1 - 1e-4), rh)
+        else:
+            got = jnp.zeros_like(hw, dtype=bool)
         # processinfprobs first: the haploweight similarity damping
         # reads the genotypes it just updated (call order,
         # cnF2freq.cpp:6344-6368)
@@ -335,10 +392,14 @@ def make_resident_updates(cfg: ModelConfig, params: RuntimeParams,
         hres = update_haploweights(hw, hb, hc, newmd,
                                    newms.astype(dtype), relterm, desc,
                                    children, li, active, params, sf)
+        # hw_full: the merged next-iteration haploweight (inactive lanes
+        # keep their input value) — stays on device as the mirror
+        hw_full = jnp.where(active, hres.haploweight, hw)
         # newmd8: the compact readback copy (alleles fit int8); the
         # int32 newmd stays on device as next iteration's input
         return (newmd, newms, newmd.astype(jnp.int8), take,
-                hres.haploweight, active, ires.hits + hres.hits)
+                hres.haploweight, active, ires.hits + hres.hits,
+                hw_full, rh, got)
 
     return run_updates
 
@@ -353,6 +414,7 @@ class CohortStatic:
     eligible: jnp.ndarray    # [NI] bool  (has_prior & ~empty)
     children: jnp.ndarray    # [NI]
     descendants: jnp.ndarray  # [NI]
+    has_rh: jnp.ndarray      # [NI] bool  (relhaplo allocated)
 
 
 def gather_cohort_static(ped, ids, dtype) -> CohortStatic:
@@ -364,12 +426,14 @@ def gather_cohort_static(ped, ids, dtype) -> CohortStatic:
     elig = np.zeros(NI, dtype=bool)
     children = np.zeros(NI, dtype=dtype)
     desc = np.zeros(NI, dtype=dtype)
+    hasrh = np.zeros(NI, dtype=bool)
     for i, n in enumerate(ids):
         ind = ped.by_id(n)
         hasp[i] = ind.has_prior
         elig[i] = ind.has_prior and not ind.empty
         children[i] = ind.children
         desc[i] = ind.descendants
+        hasrh[i] = ind.relhaplo is not None
         if ind.has_prior:
             prior[i] = ind.priormarkerdata
             psure[i] = ind.priormarkersure
@@ -378,7 +442,8 @@ def gather_cohort_static(ped, ids, dtype) -> CohortStatic:
                         has_prior=jnp.asarray(hasp),
                         eligible=jnp.asarray(elig),
                         children=jnp.asarray(children),
-                        descendants=jnp.asarray(desc))
+                        descendants=jnp.asarray(desc),
+                        has_rh=jnp.asarray(hasrh))
 
 
 class ScanCohort:
@@ -395,18 +460,31 @@ class ScanCohort:
     is the vacant-slot sentinel with the same inert values."""
 
     def __init__(self, ped, ids, dtype, layout, with_rh: bool,
-                 dev_md=None, dev_ms=None, progs: Dict = None):
+                 dev_md=None, dev_ms=None, progs: Dict = None,
+                 dev_hw=None, dev_rh=None):
         NI = len(ids)
         MP = sum(mp for _, _, _, mp in layout)
-        hw = np.full((NI + 1, MP), 0.5, dtype=dtype)
-        rh = np.full((NI + 1, MP), 0.5, dtype=dtype) if with_rh else None
-        for (lo, hi, plo, mp) in layout:
-            sl = slice(plo, plo + (hi - lo))
-            for i, n in enumerate(ids):
-                ind = ped.by_id(n)
-                hw[i, sl] = ind.haploweight[lo:hi]
-                if rh is not None and ind.relhaplo is not None:
-                    rh[i, sl] = ind.relhaplo[lo:hi]
+        if dev_hw is not None:
+            # hw (and relh) already live on device in the real marker
+            # layout (the update-program mirrors); transform in-program
+            p2 = _layout_prog_2d(tuple(layout), dev_hw.shape,
+                                 str(dtype),
+                                 progs if progs is not None else {})
+            self.hw = p2(dev_hw)
+            self.rh = p2(dev_rh) if (with_rh and dev_rh is not None) \
+                else None
+            hw = rh = None
+        else:
+            hw = np.full((NI + 1, MP), 0.5, dtype=dtype)
+            rh = np.full((NI + 1, MP), 0.5, dtype=dtype) if with_rh \
+                else None
+            for (lo, hi, plo, mp) in layout:
+                sl = slice(plo, plo + (hi - lo))
+                for i, n in enumerate(ids):
+                    ind = ped.by_id(n)
+                    hw[i, sl] = ind.haploweight[lo:hi]
+                    if rh is not None and ind.relhaplo is not None:
+                        rh[i, sl] = ind.relhaplo[lo:hi]
         if dev_md is not None:
             # md/ms already live on device in the real marker layout
             # (the update programs' outputs); transform in-program
@@ -424,8 +502,9 @@ class ScanCohort:
                     ms[i, sl] = ind.markersure[lo:hi]
             self.md = jnp.asarray(md)
             self.ms = jnp.asarray(ms)
-        self.hw = jnp.asarray(hw)
-        self.rh = jnp.asarray(rh) if rh is not None else None
+        if hw is not None:
+            self.hw = jnp.asarray(hw)
+            self.rh = jnp.asarray(rh) if rh is not None else None
         self.layout = {lo: (plo, mp) for lo, hi, plo, mp in layout}
 
 
@@ -447,6 +526,27 @@ def _layout_prog(layout, shape, dtkey, progs: Dict):
                 out = jnp.concatenate(parts, axis=1)
                 return jnp.pad(out, [(0, 1), (0, 0), (0, 0)])
             return padded(md), padded(ms)
+        progs[key] = run
+    return progs[key]
+
+
+def _layout_prog_2d(layout, shape, dtkey, progs: Dict):
+    """Real [NI, Mtot] -> padded [NI+1, MPtot] layout transform for the
+    weight tensors (hw/relh): pad columns and the sentinel row carry the
+    inert value 0.5."""
+    key = ("resident_layout2d", layout, shape, dtkey)
+    if key not in progs:
+        @jax.jit
+        def run(x):
+            parts = []
+            for (lo, hi, plo, mp) in layout:
+                seg = x[:, lo:hi]
+                if mp > hi - lo:
+                    seg = jnp.pad(seg, [(0, 0), (0, mp - (hi - lo))],
+                                  constant_values=0.5)
+                parts.append(seg)
+            out = jnp.concatenate(parts, axis=1)
+            return jnp.pad(out, [(0, 1), (0, 0)], constant_values=0.5)
         progs[key] = run
     return progs[key]
 

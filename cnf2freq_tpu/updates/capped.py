@@ -127,6 +127,21 @@ def cappedgd(gradient: Callable[[jnp.ndarray], jnp.ndarray],
     concrete_zero = isinstance(scalefactor, (int, float, np.floating)) \
         and float(scalefactor) == 0.0
     if not concrete_zero:
-        lo, hi, _ = jax.lax.fori_loop(0, iters, body,
-                                      (lo, hi, dead))
+        # bounded while with all-done early exit: done lanes are frozen
+        # inside body (lo/hi pass through), so skipping the remaining
+        # iterations once every lane has converged is exact — in steady
+        # state most lanes hit the |prel - sf| tolerance well before the
+        # reference's fixed 51 steps (cnF2freq.cpp:4131), and the 16
+        # gradient evaluations per step dominate this program's cost
+        def cond(carry):
+            i, _, _, done = carry
+            return (i < iters) & ~jnp.all(done)
+
+        def step(carry):
+            i, lo, hi, done = carry
+            lo, hi, done = body(i, (lo, hi, done))
+            return (i + 1, lo, hi, done)
+
+        _, lo, hi, _ = jax.lax.while_loop(
+            cond, step, (jnp.asarray(0, dtype=jnp.int32), lo, hi, dead))
     return caplogitchange(0.5 * (lo + hi), orig, epsilon, breakathalf)
