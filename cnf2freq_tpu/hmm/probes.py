@@ -767,8 +767,10 @@ def phase_coherence_slot(fbres: FBResult, blocks: EmissionBlocks,
 def phase_coherence(fbres: FBResult, blocks: EmissionBlocks,
                     fb: FamilyBatch, cfg: ModelConfig,
                     lam: jnp.ndarray) -> jnp.ndarray:
-    """All-slot coherence [b, m, slot] (small-problem convenience)."""
-    cols = [phase_coherence_slot(fbres, blocks, fb, cfg, lam, slot)
+    """All-slot coherence [b, m, slot] (shared pair total)."""
+    tot = phase_pair_total(fbres, blocks, fb, cfg, lam)
+    cols = [phase_coherence_slot(fbres, blocks, fb, cfg, lam, slot,
+                                 tot=tot)
             for slot in range(cfg.numslots)]
     return jnp.stack(cols, axis=-1)
 

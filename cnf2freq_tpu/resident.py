@@ -76,18 +76,23 @@ class ResidentAccum:
     hb; ``rows_slice`` hands the flip scorer device views."""
 
     def __init__(self, NI: int, Mtot: int, dtype, with_coh: bool,
-                 progs: Dict = None):
+                 progs: Dict = None, sharding=None):
         self.NI, self.Mtot = NI, Mtot
         self.dtype = dtype
         self.with_coh = with_coh
+        self.sharding = sharding
+
+        def place(arr):
+            return jax.device_put(arr, sharding) \
+                if sharding is not None else arr
 
         def z():
             # distinct buffers: donation forbids passing one device
             # buffer as two donated operands
-            return jnp.zeros((NI, Mtot), dtype=dtype)
+            return place(jnp.zeros((NI, Mtot), dtype=dtype))
         self.hb = z()
         self.hc = z()
-        self.inf = jnp.zeros((NI, Mtot, 2, 2), dtype=dtype)
+        self.inf = place(jnp.zeros((NI, Mtot, 2, 2), dtype=dtype))
         self.cnum = z() if with_coh else None
         self.cden = z() if with_coh else None
         # program cache OWNED BY THE CALLER (Driver._scan_cache): a
@@ -284,9 +289,11 @@ def make_coherence_all(cfg: ModelConfig, params: RuntimeParams,
 
 
 def scatter_coh(coh, slot_ind, descendants, lut, num_individuals: int,
-                Mc: int):
+                Mc: int, axis_name: str = None):
     """Device form of updates/scatter.scatter_coherence: every occupied
-    slot contributes desc-weighted coherence (duplicates add twice)."""
+    slot contributes desc-weighted coherence (duplicates add twice).
+    axis_name completes the per-individual sum over a data-sharded
+    batch axis (the mesh form)."""
     B, Mp, S = coh.shape
     dtype = coh.dtype
     desc = descendants.astype(dtype)
@@ -302,6 +309,9 @@ def scatter_coh(coh, slot_ind, descendants, lut, num_individuals: int,
     den = jax.ops.segment_sum(den.reshape(B * S, Mp),
                               rows.reshape(B * S),
                               num_segments=num_individuals + 1)[:-1]
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
     return num, den
 
 
@@ -319,6 +329,32 @@ def make_scatter_coh_ext(cfg: ModelConfig, num_individuals: int,
                            num_individuals, Mc)
 
     return run
+
+
+def make_scatter_coh_sharded(num_individuals: int, n_slots: int, mesh,
+                             Mc: int):
+    """Mesh form of the coherence scatter: the sharded scan already
+    returned per-unit coherence sharded over "data"; each shard
+    segment-sums its slice onto [NI, Mp] partials and a psum completes
+    the per-individual merge (replicated output for the resident
+    add_coh fold)."""
+    from jax.sharding import PartitionSpec as P
+
+    def step(coh, slot_ind, descendants, lut):
+        Mp = coh.shape[1]
+        m = jnp.arange(Mp)[None, :, None]
+        coh = jnp.where(m == Mc - 1, 0.5, coh[:, :, :n_slots])
+        return scatter_coh(coh, slot_ind[:, :n_slots], descendants, lut,
+                           num_individuals, Mc, axis_name="data")
+
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P()),
+        out_specs=(P(), P()), check_vma=False)
+    return jax.jit(sharded)
+
+
+
 
 
 def make_resident_updates(cfg: ModelConfig, params: RuntimeParams,
@@ -417,9 +453,10 @@ class CohortStatic:
     has_rh: jnp.ndarray      # [NI] bool  (relhaplo allocated)
 
 
-def gather_cohort_static(ped, ids, dtype) -> CohortStatic:
+def gather_cohort_static(ped, ids, dtype, ni_eff: int = None,
+                         sharding=None) -> CohortStatic:
     M = ped.num_markers
-    NI = len(ids)
+    NI = ni_eff if ni_eff is not None else len(ids)
     prior = np.zeros((NI, M, 2), dtype=np.int32)
     psure = np.zeros((NI, M, 2), dtype=dtype)
     hasp = np.zeros(NI, dtype=bool)
@@ -437,13 +474,14 @@ def gather_cohort_static(ped, ids, dtype) -> CohortStatic:
         if ind.has_prior:
             prior[i] = ind.priormarkerdata
             psure[i] = ind.priormarkersure
-    return CohortStatic(prior=jnp.asarray(prior),
-                        priorsure=jnp.asarray(psure),
-                        has_prior=jnp.asarray(hasp),
-                        eligible=jnp.asarray(elig),
-                        children=jnp.asarray(children),
-                        descendants=jnp.asarray(desc),
-                        has_rh=jnp.asarray(hasrh))
+    def place(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, sharding) if sharding is not None \
+            else x
+    return CohortStatic(prior=place(prior), priorsure=place(psure),
+                        has_prior=place(hasp), eligible=place(elig),
+                        children=place(children),
+                        descendants=place(desc), has_rh=place(hasrh))
 
 
 class ScanCohort:
