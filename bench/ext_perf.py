@@ -72,10 +72,30 @@ def main():
     out["selfing"] = measure("selfing", selfed)
     out["relskewstates"] = measure("relskewstates", relskew)
     out["ng2"] = measure("ng2", ng2)
-    ref = 691.2
+    # denominators: the DEFAULT reference build (bench/ref_rate.json)
+    # and — the honest like-for-like rows (round-4 verdict item 4) —
+    # the reference's own SELFING / RELSKEWSTATES builds measured at
+    # the same 1000x192 workload (bench/ext_baseline.py ->
+    # bench/ext_rates.json)
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "ref_rate.json")) as f:
+            ref = float(json.load(f)["ind_markers_per_s"])
+    except Exception:
+        ref = 646.9
+    try:
+        with open(os.path.join(here, "ext_rates.json")) as f:
+            own = {k: float(v["ind_markers_per_s"])
+                   for k, v in json.load(f).items()}
+    except Exception:
+        own = {}
     for k in ("selfing", "relskewstates", "ng2"):
         out[k]["vs_reference_default_build"] = round(
             out[k]["unit_markers_per_s"] / ref, 1)
+        if k in own:
+            out[k]["vs_own_reference_build"] = round(
+                out[k]["unit_markers_per_s"] / own[k], 1)
+            out[k]["own_build_ind_markers_per_s"] = own[k]
     print(json.dumps(out, indent=1))
 
 

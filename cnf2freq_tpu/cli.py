@@ -92,10 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "pair swap moves (parentswapnegshifts)")
     p.add_argument("--trace", help="write structured tracing/metrics as "
                    "JSON lines to this file; span summary on stderr")
-    p.add_argument("--x64", action="store_true", default=True,
-                   help="use float64 (default)")
+    p.add_argument("--x64", dest="x64", action="store_true",
+                   default=None,
+                   help="use float64 (default on CPU; TPUs emulate f64 "
+                   "in software — prefer --f32 there)")
     p.add_argument("--f32", dest="x64", action="store_false",
-                   help="use float32 (TPU-fast mode)")
+                   help="use float32 (TPU-fast mode; default when a "
+                   "TPU backend is detected)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -108,6 +111,16 @@ def main(argv=None) -> int:
         # the flag would surprise the user
         parser.error("--parentswap requires --flipmode negshift")
     import jax
+    if args.x64 is None:
+        # default dtype by backend: f32 on accelerators (f64 is
+        # software-emulated on TPU, and x64-enabled processes hit an
+        # upstream Pallas trace recursion there), f64 on CPU where it
+        # is native and matches the reference's precision
+        args.x64 = jax.default_backend() == "cpu"
+        if not args.x64:
+            print("# accelerator backend detected: defaulting to "
+                  "float32 (pass --x64 to force float64)",
+                  file=sys.stderr)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
 
@@ -204,19 +217,28 @@ def main(argv=None) -> int:
             sw = deserialize(ped, f)
         for n, s in sw.items():
             print(f"Switches {n} {ped.by_id(n).name}\t{s}")
-    elif args.checkpoint:
+    done = 0
+    if args.checkpoint and not args.deserialize:
+        import json as _json
         import os as _os
         if _os.path.exists(args.checkpoint):
             with open(args.checkpoint) as f:
+                head = f.readline()
+                if head.startswith("# driverstate "):
+                    st = _json.loads(head[len("# driverstate "):])
+                    driver.import_state(st)
+                    done = int(st.get("iterations_done", 0))
+                else:
+                    f.seek(0)
                 deserialize(ped, f)
-            print(f"resumed from checkpoint {args.checkpoint}",
-                  file=sys.stderr)
+            print(f"resumed from checkpoint {args.checkpoint} "
+                  f"({done} iterations done)", file=sys.stderr)
 
     if args.outputpedfile:
         output_ped(ped, args.outputpedfile)
 
     dump_out = open(args.dump, "w") if args.dump else sys.stdout
-    for i in range(args.count):
+    for i in range(done, args.count):
         # the reference runs doit for every i, the first in "early" mode
         # (no phase-flip moves, cnF2freq.cpp:231, 8127-8132)
         info = driver.iterate(early=(i < 1))
@@ -225,9 +247,13 @@ def main(argv=None) -> int:
               f"scalefactor={info['scalefactor']:.6f}", file=sys.stderr)
         write_haplotype_dump(ped, dump_out)
         if args.checkpoint:
+            import json as _json
             import os as _os
             tmp = args.checkpoint + ".tmp"
             with open(tmp, "w") as f:
+                st = driver.export_state()
+                st["iterations_done"] = i + 1
+                f.write("# driverstate " + _json.dumps(st) + "\n")
                 write_haplotype_dump(ped, f, reset_negshift=False)
             _os.replace(tmp, args.checkpoint)
     if args.dump:

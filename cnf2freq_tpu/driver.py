@@ -152,6 +152,25 @@ class Driver:
         from .utils.tracing import NullTracer
         self.tracer = NullTracer()
 
+    def export_state(self) -> dict:
+        """Cross-iteration driver knobs for checkpoint manifests (the
+        reference keeps these in globals that a --deserialize resume
+        silently resets; carrying them makes a resumed run continue the
+        exact trajectory)."""
+        return dict(scalefactor=self.state.scalefactor,
+                    oldhitnnn=self.state.oldhitnnn,
+                    oldhitnnn2=self.state.oldhitnnn2,
+                    iter=self.state.iter)
+
+    def import_state(self, d: dict) -> None:
+        self.state.scalefactor = float(d.get("scalefactor",
+                                             self.state.scalefactor))
+        self.state.oldhitnnn = int(d.get("oldhitnnn",
+                                         self.state.oldhitnnn))
+        self.state.oldhitnnn2 = int(d.get("oldhitnnn2",
+                                          self.state.oldhitnnn2))
+        self.state.iter = int(d.get("iter", self.state.iter))
+
     @property
     def pair_tables(self) -> Dict[int, np.ndarray]:
         """Ordered-genotype posterior tables {focal id: [M, 2, 2]}.

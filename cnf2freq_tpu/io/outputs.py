@@ -168,6 +168,13 @@ def deserialize(ped: Pedigree, stream: TextIO) -> Dict[int, int]:
             ind.haploweight[i] = hw
             ind.markerdata[i] = (a, b)
             ind.markersure[i] = (s1, s2)
+            # the dump's relhaplo column (the reference writes it too,
+            # cnF2freq.cpp:8184, but never restores it — its PlantImpute
+            # path leaves relhaplo inert): restoring it keeps the
+            # adaptive-relhaplo trajectory continuous across
+            # checkpoint/resume
+            if len(row) >= 7 and ind.relhaplo is not None:
+                ind.relhaplo[i] = float(row[6])
             if hw == 0.5 or a == b or not match:
                 continue
             newphase = 1 + ((hw > 0.5) ^ inv)

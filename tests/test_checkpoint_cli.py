@@ -21,13 +21,21 @@ def test_checkpoint_roundtrip(tmp_path, capsys):
     assert not os.path.exists(ck + ".tmp")
     first = open(ck).read()
 
-    # "resume": a fresh process restores the checkpoint and keeps going
+    # the header carries the driver state + completed-iteration count
+    assert first.startswith("# driverstate ")
+    capsys.readouterr()     # drain the first run's output
+
+    # "resume": a fresh process restores the checkpoint (including the
+    # iteration counter: --count is the TOTAL budget, so this runs
+    # iterations 2 and 3 only) and keeps going
     out2 = str(tmp_path / "out2")
     dump2 = str(tmp_path / "dump2")
-    assert main(DEMO + ["--count", "2", "--checkpoint", ck,
+    assert main(DEMO + ["--count", "4", "--checkpoint", ck,
                         "--dump", dump2, "--output", out2]) == 0
     err = capsys.readouterr().err
     assert "resumed from checkpoint" in err
+    assert "(2 iterations done)" in err
+    assert "iter 0:" not in err and "iter 2:" in err and "iter 3:" in err
     assert open(ck).read() != first     # state advanced
 
     vals = np.array([[float(v) for v in r.split("\t")]

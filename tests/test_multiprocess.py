@@ -128,3 +128,151 @@ def test_two_process_distributed_iterate(tmp_path):
     hw = np.stack([ped.by_id(n).haploweight for n in ped.dous])
     # dump rows carry the reference's fixed-precision text columns
     np.testing.assert_allclose(hw, states[0]["hw"], atol=1e-5)
+
+
+WORKER4 = r"""
+import json, os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2])
+coord = sys.argv[3]; outdir = sys.argv[4]; mode = sys.argv[5]
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax._src import xla_bridge as _xb
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+from cnf2freq_tpu.parallel.multihost import init_distributed, pod_mesh
+init_distributed(coordinator=coord, num_processes=nproc, process_id=pid)
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+from cnf2freq_tpu.driver import Driver
+from cnf2freq_tpu.utils import simulate_f2
+from cnf2freq_tpu.io.sharded_checkpoint import load_sharded, save_sharded
+
+ped = simulate_f2(n_f2=8, n_markers=8, n_founder_pairs=2, seed=31)
+drv = Driver(ped, dtype=np.float64, mesh=pod_mesh())
+drv.preprocess()
+ckpt = os.path.join(outdir, "ckpt")
+
+if mode == "crash":
+    drv.iterate(early=True)
+    drv.iterate(early=False)
+    meta = {"iteration": 2, "driver": drv.export_state()}
+    save_sharded(ped, ckpt, meta=meta)
+    print("CKPT_SAVED", pid, flush=True)
+    if pid == nproc - 1:
+        # abrupt death at the start of iteration 3: leave a partial
+        # shard write behind (the .tmp convention must make it
+        # invisible to load_sharded) and die without cleanup
+        with open(os.path.join(
+                ckpt, f"shard-{pid:05d}-of-{nproc:05d}.txt.tmp"),
+                "w") as f:
+            f.write("partial garbage from a dying worker\n")
+        os._exit(17)
+    # survivors press on into the collective and block on the dead peer
+    drv.iterate(early=False)
+    print("UNEXPECTED_COMPLETION", pid, flush=True)
+else:   # mode == "resume": fresh cohort restarted from the checkpoint
+    man = load_sharded(ped, ckpt)
+    drv.import_state(man["driver"])
+    infos = [drv.iterate(early=False), drv.iterate(early=False)]
+    state = dict(
+        hw=np.stack([ped.by_id(n).haploweight for n in ped.dous]),
+        md=np.stack([ped.by_id(n).markerdata for n in ped.dous]),
+        ms=np.stack([ped.by_id(n).markersure for n in ped.dous]),
+        sf=np.array([i["scalefactor"] for i in infos]),
+        hits=np.array([i["hitnnn"] for i in infos]),
+    )
+    np.savez(os.path.join(outdir, f"resume_{pid}.npz"), **state)
+    print("RESUME_OK", pid, flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_four_process_kill_one_resume_all(tmp_path):
+    """Elasticity (the PERFORMANCE.md promise): a 4-process cohort loses
+    a worker mid-run; the per-iteration sharded checkpoint survives the
+    crash (atomic tmp+rename, manifest last), and a restarted 4-process
+    cohort resumes from it deterministically — all processes identical,
+    and equal to a single-process resume from the same files.  The
+    multi-host form of the reference's --deserialize contract
+    (cnF2freq.cpp:7757-7832)."""
+    import time
+    nproc = 4
+    worker = tmp_path / "worker4.py"
+    worker.write_text(WORKER4)
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
+        "JAX_NUM_CPU_DEVICES": "1",
+    })
+
+    def launch(mode, coord):
+        return [subprocess.Popen(
+            [sys.executable, str(worker), str(p), str(nproc), coord,
+             str(tmp_path), mode],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for p in range(nproc)]
+
+    # -- crash phase ---------------------------------------------------
+    procs = launch("crash", f"127.0.0.1:{_free_port()}")
+    victim = procs[nproc - 1]
+    out_v, _ = victim.communicate(timeout=900)
+    assert victim.returncode == 17, out_v[-2000:]
+    assert "CKPT_SAVED" in out_v
+    # survivors are blocked on the dead peer's collective: reap them
+    # by exact pid (they must NOT have completed iteration 3)
+    time.sleep(3)
+    for p in procs[:-1]:
+        p.terminate()
+    for p in procs[:-1]:
+        try:
+            out, _ = p.communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            # a survivor stuck deep in a gloo collective can shrug off
+            # SIGTERM; SIGKILL the exact pid we own
+            p.kill()
+            out, _ = p.communicate(timeout=60)
+        assert "UNEXPECTED_COMPLETION" not in out, out[-2000:]
+
+    # checkpoint integrity after the crash
+    ckpt = tmp_path / "ckpt"
+    manifest = json.loads((ckpt / "manifest.json").read_text())
+    assert manifest["shards"] == nproc
+    assert len(list(ckpt.glob("shard-*.txt"))) == nproc
+    assert (ckpt / f"shard-{nproc-1:05d}-of-{nproc:05d}.txt.tmp"
+            ).exists()      # the dying worker's partial write is inert
+
+    # -- resume phase --------------------------------------------------
+    procs = launch("resume", f"127.0.0.1:{_free_port()}")
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, out[-3000:]
+        assert "RESUME_OK" in out, out[-2000:]
+    states = [np.load(tmp_path / f"resume_{p}.npz")
+              for p in range(nproc)]
+    for key in ("hw", "md", "ms", "sf", "hits"):
+        for p in range(1, nproc):
+            np.testing.assert_array_equal(states[0][key], states[p][key],
+                                          err_msg=key)
+
+    # single-process resume from the same files: the same trajectory
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from cnf2freq_tpu.driver import Driver
+    from cnf2freq_tpu.io.sharded_checkpoint import load_sharded
+    from cnf2freq_tpu.utils import simulate_f2
+    ped = simulate_f2(n_f2=8, n_markers=8, n_founder_pairs=2, seed=31)
+    drv = Driver(ped, dtype=np.float64)
+    drv.preprocess()
+    man = load_sharded(ped, str(ckpt))
+    drv.import_state(man["driver"])
+    infos = [drv.iterate(early=False), drv.iterate(early=False)]
+    hw = np.stack([ped.by_id(n).haploweight for n in ped.dous])
+    np.testing.assert_allclose(hw, states[0]["hw"], rtol=1e-9,
+                               atol=1e-11)
+    assert [i["hitnnn"] for i in infos] == list(states[0]["hits"])
