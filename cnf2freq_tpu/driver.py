@@ -699,11 +699,11 @@ class Driver:
     # ------------------------------------------------------------------
     def iterate(self, early: bool = False):
         import jax.numpy as jnp
-        if self.marker_block is not None and (self.ext or
-                                              self.cfg.numgen != 3):
+        if self.marker_block is not None and self.cfg.numgen == 2 \
+                and not self.cfg.haplotyping:
             raise NotImplementedError(
-                "marker-blocked scans run the 64-state v2 pipeline "
-                "(standard numgen==3 space) only")
+                "marker-blocked scans: the no-haplotyping deep-walk "
+                "engine is whole-chromosome only")
         ped, cfg, params = self.ped, self.cfg, self.params
         st = self.state
         st.iter += 1
@@ -754,10 +754,15 @@ class Driver:
                 ped.by_id(n).lastinved[c] = -1
             Mc = hi - lo
             if self.marker_block is not None and Mc > self.marker_block:
-                winner = self._chromosome_blocked(
-                    c, lo, hi, dous, haplobase, haplocount, infacc,
-                    ind_index, lut, early, coh_num=coh_num,
-                    coh_den=coh_den)
+                if self.ext or cfg.numgen == 2:
+                    winner = self._chromosome_blocked_family(
+                        c, lo, hi, dous, haplobase, haplocount, infacc,
+                        ind_index, lut, early)
+                else:
+                    winner = self._chromosome_blocked(
+                        c, lo, hi, dous, haplobase, haplocount, infacc,
+                        ind_index, lut, early, coh_num=coh_num,
+                        coh_den=coh_den)
                 winners.append(winner)
                 if winner is not None:
                     apply_flips(ped, winner, c, haplobase, haplocount,
@@ -1566,18 +1571,17 @@ class Driver:
         from .ops import scan_v2 as v2
         from .parallel.mesh import pad_markers
         ped, cfg = self.ped, self.cfg
-        if self.parity and not early:
-            raise NotImplementedError(
-                "marker-blocked mode does not emulate the reference's "
-                "whole-chromosome WCNF pipeline (parity mode)")
         if self.parent_swap and not early:
             raise NotImplementedError(
                 "parent-pair swap moves are unblocked-only")
-        # negshift under blocking: the legacy pass consumes the whole
-        # chromosome's turn weights at once, so the per-block device
-        # tensors are staged to HOST memory (RAM, not HBM — the memory
-        # bound blocking exists for) and concatenated after the loop
-        negshift = self.flip_mode == "negshift" and not early
+        # negshift/parity under blocking: both passes consume the whole
+        # chromosome's turn weights at once (the reference's WCNF stage
+        # is per-chromosome, cnF2freq.cpp:5978-6084), so the per-block
+        # device tensors are staged to HOST memory (RAM, not HBM — the
+        # memory bound blocking exists for) and concatenated after the
+        # loop
+        negshift = (self.flip_mode == "negshift" or self.parity) \
+            and not early
         block = self.marker_block
         Mc = hi - lo
         Mp = -(-Mc // block) * block
@@ -1719,10 +1723,17 @@ class Driver:
         if self.remap_distances:
             self._apply_recomb(lo, hi, remap_acc)
         if negshift:
-            from .updates.negshift import negshift_flips
             weights = np.concatenate(
                 [np.concatenate(p, axis=0) for p in neg_parts if p],
                 axis=1)
+            if self.parity:
+                # reference-exact DOTOULBAR pipeline over the staged
+                # whole-chromosome weights (updates/refflips.py)
+                from .updates.refflips import reference_flips
+                return reference_flips(ped, cfg, dous, lo, hi,
+                                       weights.astype(np.float64),
+                                       haplobase, haplocount, ind_index)
+            from .updates.negshift import negshift_flips
             desc = np.array([max(ped.by_id(n).descendants, 1)
                              for n in dous], dtype=float)
             return negshift_flips(ped, dous, lo, hi,
@@ -1829,6 +1840,139 @@ class Driver:
             sums, counts = remap_acc
             for sex in range(2):
                 counts[sex] += B * int((sexes == sex).sum())
+
+    def _chromosome_blocked_family(self, c, lo, hi, dous, haplobase,
+                                   haplocount, infacc, ind_index, lut,
+                                   early) -> Optional[FlipCandidate]:
+        """Marker-blocked mode for the ng2 and extended (SELFING /
+        RELSKEWSTATES) model families (blocked_families.py): O(block)
+        device memory at any chromosome length — the fillortake property
+        under every model config (cnF2freq.cpp:1675-1776).
+
+        Blocks iterate OUTER, chunks inner, with the same one-block
+        scoring deferral as the standard blocked path so the relskew
+        halo column sees every chunk's accumulator contributions.
+        Adaptive-relhaplo coherence and map re-estimation stay
+        whole-chromosome features here (the standard space supports
+        both under blocking)."""
+        import jax.numpy as jnp
+
+        from .blocked_families import (blocked_family_chunk,
+                                       make_blocked_family_pieces)
+        from .hmm.transition import rate_matrix
+        from .parallel.mesh import pad_markers
+        ped, cfg = self.ped, self.cfg
+        if self.flip_mode == "negshift" and not early:
+            raise NotImplementedError(
+                "negshift x blocked runs on the standard space only")
+        if self.parent_swap and not early:
+            raise NotImplementedError(
+                "parent-pair swap moves are unblocked-only")
+        if self.remap_distances:
+            raise NotImplementedError(
+                "map re-estimation under blocked scans is "
+                "standard-space only")
+        need_coh = self.adaptive_relhaplo and (cfg.relskews or
+                                               cfg.relskewstates)
+        if need_coh and not getattr(self, "_warned_blocked_coh", False):
+            import sys
+            print("# blocked mode (ng2/ext): adaptive-relhaplo "
+                  "coherence is a whole-chromosome feature; relhaplo "
+                  "keeps its current values", file=sys.stderr)
+            self._warned_blocked_coh = True
+
+        block = self.marker_block
+        Mc = hi - lo
+        Mp = -(-Mc // block) * block
+        nblk = Mp // block
+        dists = np.pad(np.diff(
+            ped.markerposes[lo:hi]).astype(self.dtype), (0, Mp - Mc))
+        rm = np.pad(rate_matrix(cfg, self.params, Mc - 1, ped.actrec,
+                                lo, dtype=self.dtype),
+                    ((0, Mp - Mc), (0, 0)))
+        NI = haplobase.shape[0]
+        dt = np.dtype(self.dtype)
+        key = ("blocked_fam", self.dtype, NI, block)
+        if key not in self._scan_cache:
+            self._scan_cache[key] = make_blocked_family_pieces(
+                cfg, self.params, dt, NI,
+                n_variants=self._n_variants())
+        pieces = self._scan_cache[key]
+        lutj = jnp.asarray(lut)
+        bs = self._chunk_size(len(dous), 2 * block)
+        chunk_list = [dous[j:j + bs]
+                      for j in range(0, len(dous), bs)]
+        rows = np.array([ind_index[n] for n in dous])
+
+        fbs = []
+        for chunk in chunk_list:
+            fbatch = gather_family(ped, chunk, lo, hi - 1,
+                                   dtype=self.dtype,
+                                   mask_mode=self.mask_mode,
+                                   parity=self.parity,
+                                   n_variants=self._n_variants())
+            if Mp > Mc:
+                fbatch = pad_markers(fbatch, Mp)
+            fbs.append(fbatch)
+        gens = [blocked_family_chunk(fb, dists, rm, cfg, self.params,
+                                     block, lutj, pieces,
+                                     with_turn=not early)
+                for fb in fbs]
+
+        scored = []
+        pending = None
+
+        def score_block(off, wparts):
+            span = min(block, Mc - off)
+            if span <= 0:
+                return
+            halo = off + span < Mc
+            ext = span + (1 if halo else 0)
+            scored.append(self._score_turns(
+                dous, lo, hi, tuple(w[:, :span] for w in wparts),
+                None, None, ind_index, c, marker_offset=off,
+                m_span=span, halo=halo,
+                skew_rows=(haplobase[rows][:, lo + off:lo + off + ext],
+                           haplocount[rows][:, lo + off:lo + off + ext])))
+
+        for i in range(nblk):
+            off = i * block
+            span = min(block, Mc - off)
+            outs = [next(g) for g in gens]
+            if span <= 0:
+                continue
+            wparts = []
+            for chunk, (bi, pair_i, hb_i, hc_i, inf_i, w) in \
+                    zip(chunk_list, outs):
+                sl = slice(lo + off, lo + off + span)
+                with self.tracer.span("scatter"):
+                    self._store_pair_tables(
+                        chunk, lo + off, np.asarray(pair_i)[:, :span])
+                    haplobase[:, sl] += np.asarray(
+                        hb_i, dtype=np.float64)[:, :span]
+                    haplocount[:, sl] += np.asarray(
+                        hc_i, dtype=np.float64)[:, :span]
+                    infacc[:, sl] += np.asarray(
+                        inf_i, dtype=np.float64)[:, :span]
+                if not early:
+                    wparts.append(w)
+            if not early and wparts:
+                if pending is not None:
+                    score_block(*pending)
+                pending = (off, wparts)
+        if pending is not None and not early:
+            score_block(*pending)
+        if early or not scored:
+            return None
+        idx = np.concatenate([s[0] for s in scored])
+        mg = np.concatenate([s[1] for s in scored])
+        gains = np.concatenate([s[2] for s in scored], axis=1)
+        S_top = np.concatenate([s[3] for s in scored], axis=1)
+        order = np.argsort(mg)[::-1][:self.max_flip_markers]
+        merged = (idx[order], mg[order], gains[:, order],
+                  S_top[:, order])
+        with self.tracer.span("flips"):
+            return self._solve_scored(dous, lo, hi, merged, c)
 
     def _solve_scored(self, dous, lo, hi, scored, chrom
                       ) -> Optional[FlipCandidate]:

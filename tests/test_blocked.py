@@ -261,3 +261,94 @@ def test_driver_blocked_negshift_matches_unblocked():
                                    rtol=1e-8, atol=1e-11, err_msg=a.name)
         np.testing.assert_array_equal(a.lastinved, b.lastinved,
                                       err_msg=a.name)
+
+
+def _blocked_vs_whole_family(make_ped, block=4):
+    """Marker-blocked vs whole-chromosome full iteration on a non-
+    standard model family (blocked_families.py): every updated
+    parameter and pair table must agree."""
+    from cnf2freq_tpu.driver import Driver
+
+    peds = [make_ped(), make_ped()]
+    drvs = [Driver(peds[0]), Driver(peds[1])]
+    drvs[0].marker_block = block
+    for d in drvs:
+        d.adaptive_relhaplo = False
+        d.preprocess()
+        d.iterate(early=False)
+    for a, b in zip(peds[0].inds[1:], peds[1].inds[1:]):
+        np.testing.assert_allclose(a.haploweight, b.haploweight,
+                                   rtol=1e-8, atol=1e-11, err_msg=a.name)
+        mism = a.markerdata != b.markerdata
+        if mism.any():
+            sure = np.minimum(a.markersure[mism], b.markersure[mism])
+            assert (sure > 0.4).all(), (a.name, a.markerdata[mism])
+    for n in peds[0].dous:
+        np.testing.assert_allclose(drvs[0].pair_tables[n],
+                                   drvs[1].pair_tables[n],
+                                   rtol=1e-8, atol=1e-11)
+
+
+def test_driver_blocked_ng2_matches_whole():
+    """Blocked mode on the dedicated 4-state numgen==2 engine (the
+    reference's fillortake tree works under every settings.h config,
+    cnF2freq.cpp:1675-1776)."""
+    import dataclasses
+
+    from cnf2freq_tpu.config import ModelConfig
+
+    def make():
+        ped = simulate_f2(n_f2=5, n_markers=16, missing_rate=0.2,
+                          error_rate=0.02, seed=21)
+        ped.config = ModelConfig(numgen=2)
+        return ped
+
+    _blocked_vs_whole_family(make)
+
+
+def test_driver_blocked_selfing_matches_whole():
+    """Blocked mode on the SELFING extended state space."""
+    from cnf2freq_tpu.utils.simulate import simulate_selfed
+
+    def make():
+        return simulate_selfed(n_lines=5, n_markers=16, generations=4,
+                               marker_spacing_cm=2.0, seed=11)
+
+    _blocked_vs_whole_family(make)
+
+
+def test_driver_blocked_relskewstates_matches_whole():
+    """Blocked mode on the RELSKEWSTATES extended state space."""
+    from cnf2freq_tpu.config import ModelConfig
+
+    def make():
+        ped = simulate_f2(n_f2=5, n_markers=16, missing_rate=0.2,
+                          error_rate=0.02, seed=25)
+        ped.config = ModelConfig(relskewstates=True)
+        return ped
+
+    _blocked_vs_whole_family(make)
+
+
+def test_driver_blocked_parity_matches_unblocked():
+    """parity x blocked: the reference-exact DOTOULBAR flip pipeline
+    consumes whole-chromosome turn weights staged from the per-block
+    device tensors — one parity iteration equals the unblocked parity
+    path exactly."""
+    from cnf2freq_tpu.driver import Driver
+
+    peds = [simulate_f2(n_f2=5, n_markers=16, missing_rate=0.2,
+                        error_rate=0.02, seed=29) for _ in range(2)]
+    drvs = [Driver(peds[0], parity=True), Driver(peds[1], parity=True)]
+    drvs[0].marker_block = 4
+    for d in drvs:
+        d.preprocess()
+        d.iterate(early=True)
+        d.iterate(early=False)
+    for a, b in zip(peds[0].inds[1:], peds[1].inds[1:]):
+        np.testing.assert_allclose(a.haploweight, b.haploweight,
+                                   rtol=1e-8, atol=1e-11, err_msg=a.name)
+    for n in peds[0].dous:
+        np.testing.assert_allclose(drvs[0].pair_tables[n],
+                                   drvs[1].pair_tables[n],
+                                   rtol=1e-8, atol=1e-11)
