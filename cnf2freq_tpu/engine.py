@@ -275,9 +275,27 @@ def make_jitted_coherence(cfg: ModelConfig, params: RuntimeParams):
 
 def make_jitted_line_origin(cfg: ModelConfig, params: RuntimeParams):
     """Line-origin class posteriors [B, M, 3] for a chromosome: the
-    zeropropagate gstr reporter (probes.line_origin_posterior) on a
-    fresh forward-backward."""
+    zeropropagate gstr reporter (probes.line_origin_posterior; the
+    deep-walk form engine_nohaplo.nohaplo_line_origin for the
+    no-haplotyping family) on a fresh forward-backward."""
     from .hmm.probes import line_origin_posterior, posterior_weight
+
+    if cfg.numgen == 2 and not cfg.haplotyping:
+        from .engine_nohaplo import (nohaplo_emission,
+                                     nohaplo_line_origin)
+
+        @jax.jit
+        def run_nohaplo(fb: FamilyBatch, dists, ratemat):
+            dtype = fb.ms.dtype
+            e = nohaplo_emission(fb, cfg, ci=cfg.correction_inference,
+                                 dtype=dtype)
+            fbres = forward_backward(e, dists, cfg, params,
+                                     use_pallas=False, ratemat=ratemat)
+            total = combined_loglik(fbres, fb.shiftignore)
+            post = posterior_weight(fbres, total, fb.shiftignore) * e
+            return nohaplo_line_origin(fb, cfg, post[:, :, 0])
+
+        return run_nohaplo
 
     @jax.jit
     def run(fb: FamilyBatch, dists, ratemat):

@@ -283,3 +283,68 @@ def make_jitted_scan_merged_nohaplo(cfg: ModelConfig,
         return res, hb, hc, inf
 
     return run
+
+
+def nohaplo_line_origin(fb: FamilyBatch, cfg: ModelConfig,
+                        Wg: jnp.ndarray) -> jnp.ndarray:
+    """P[b, m, c(3)]: line-origin class posterior for the deep-walk
+    no-haplotyping family — the zeropropagate gstr probe
+    (cnF2freq.cpp:5512; counting hook cnF2freq.cpp:1264-1266) under
+    ``attopnow == (genwidth == 0)`` (cnF2freq.cpp:1120 with
+    HAPLOTYPING=false), i.e. counting happens one pedigree level DEEPER
+    than the haplotyping families: at the grandparent leaves, at a
+    parent whose indexed grandparent is vacant, or at the focal when
+    its first-branch parent is vacant (a vacant second-branch parent
+    contributes no count — recursetrackpossible returns without the
+    hook, cnF2freq.cpp:1044-1046).
+
+    Under zero-propagation the walk is value-unconstrained, so each
+    node's first-feasible interpretation (the !HAPLOTYPING
+    short-circuit, cnF2freq.cpp:1166) reduces to its LOCAL feasibility
+    baseval = 1 - markersure[f2n] > 0; interpretation 0 wins whenever
+    markersure[0] < 1 — exact for every dataset this framework
+    produces (markersure is an error probability < 1).
+
+    Wg: [B, M, 4] posterior state mass (posterior_weight * emission,
+    the probe value exp(probe - total))."""
+    md_f, ms_f = fb.md[:, 0], fb.ms[:, 0]
+    dtype = Wg.dtype
+
+    def sel(ms):
+        """First-feasible raw interpretation of one node."""
+        return jnp.where(ms[..., 0] < 1.0, 0, 1)
+
+    def picked2(md, ms):
+        r = sel(ms)
+        return jnp.take_along_axis(md, r[..., None],
+                                   axis=-1)[..., 0] == 2   # [B, M]
+
+    sides = []
+    for k in range(2):
+        ps = cfg.parent_slot(k)
+        md_p, ms_p = fb.md[:, ps], fb.ms[:, ps]
+        ex_p = fb.exists[:, ps]
+        p_cnt = picked2(md_p, ms_p)
+        per_bit = []
+        for j in range(2):
+            gs = cfg.grandparent_slot(k, j)
+            g_cnt = picked2(fb.md[:, gs], fb.ms[:, gs])
+            cj = jnp.where(fb.exists[:, gs][:, None], g_cnt, p_cnt)
+            per_bit.append(cj)
+        side_cnt = jnp.stack(per_bit, axis=-1)             # [B, M, 2]
+        if k == 0:
+            # vacant first-branch parent: the focal itself counts
+            focal_cnt = picked2(md_f, ms_f)
+            side_cnt = jnp.where(ex_p[:, None, None], side_cnt,
+                                 focal_cnt[..., None])
+        else:
+            side_cnt = jnp.where(ex_p[:, None, None], side_cnt, False)
+        sides.append(side_cnt)
+
+    # state g = (g1 << 1) | g0: parent k's strand follows state bit k
+    c = sides[0][..., _GBIT[0]].astype(jnp.int32) + \
+        sides[1][..., _GBIT[1]].astype(jnp.int32)          # [B, M, 4]
+    classes = jax.nn.one_hot(jnp.minimum(c, 2), 3, dtype=dtype)
+    P = jnp.einsum("bmg,bmgc->bmc", Wg, classes)
+    tot = P.sum(axis=-1, keepdims=True)
+    return jnp.where(tot > 0, P / jnp.where(tot > 0, tot, 1.0), 0.0)

@@ -222,3 +222,74 @@ def test_cli_nohaplo_demo(tmp_path):
                "--output", str(out)])
     assert rc == 0
     assert out.read_text().strip()
+
+
+def test_nohaplo_line_origin_matches_golden():
+    """engine_nohaplo.nohaplo_line_origin == the golden zeropropagate
+    gstr walk (trackpossible<false, true> under !HAPLOTYPING:
+    genwidth==0 recursion stop, cnF2freq.cpp:1120, counting hook
+    cnF2freq.cpp:1264-1266) weighted by per-state probe posteriors."""
+    from cnf2freq_tpu.config import MINFACTOR, UNKNOWN, ZP_PROPAGATE
+    from cnf2freq_tpu.engine import make_jitted_line_origin
+
+    ped = nohaplo_ped(seed=5, n_f2=8, n_markers=8)
+    cfg = ped.config
+    eng = GoldenEngine(ped)
+    eng.correction_inference = cfg.correction_inference
+    M = ped.num_markers
+    fb = gather_family(ped, list(ped.dous), 0, M - 1, dtype=np.float64)
+    dists = np.diff(ped.markerposes)
+    fn = make_jitted_line_origin(cfg, RuntimeParams())
+    from cnf2freq_tpu.hmm.transition import rate_matrix
+    rm = rate_matrix(cfg, RuntimeParams(), M - 1)
+    P = np.asarray(fn(fb.map(jnp.asarray), jnp.asarray(dists),
+                      jnp.asarray(rm)))
+
+    for b, n in enumerate(ped.dous):
+        ind = ped.by_id(n)
+        fbs = {0: eng.fwbw(ind, 0, M - 1, 0)}
+        # total over the single shift mode
+        for q in range(M):
+            acc = np.zeros(3)
+            vals = []
+            for g in range(cfg.numtypes):
+                v = eng.probe(ind, fbs[0], 0, q, g, -1, 0)
+                vals.append(v)
+            vmax = max(vals)
+            for g in range(cfg.numtypes):
+                if vals[g] <= MINFACTOR:
+                    continue
+                val = math.exp(vals[g] - vmax)
+                gstr = [0]
+                eng.trackpossible(ind, 0, ZP_PROPAGATE, UNKNOWN, 0.0,
+                                  q, g * 2, -1, 0,
+                                  1 << (cfg.numgen - 1), 0.0, gstr)
+                acc[min(gstr[0], 2)] += val
+            if acc.sum() > 0:
+                acc /= acc.sum()
+            np.testing.assert_allclose(P[b, q], acc, atol=1e-9,
+                                       err_msg=f"ind {n} marker {q}")
+
+
+def test_nohaplo_line_origin_driver_route(tmp_path):
+    """--lineorigin with --model nohaplo through the CLI: one table row
+    per (analysis individual, marker), rows normalised."""
+    import os
+
+    from cnf2freq_tpu.cli import main
+
+    rc = main(["--mapfile", "/root/reference/demoplantimpute.map",
+               "--pedfile", "/root/reference/demoplantimpute.ped",
+               "--genfile", "/root/reference/demoplantimpute.gen",
+               "--model", "nohaplo", "--count", "1",
+               "--dump", str(tmp_path / "d"),
+               "--output", str(tmp_path / "o"),
+               "--lineorigin", str(tmp_path / "lo")])
+    assert rc == 0
+    rows = [r for r in open(tmp_path / "lo") if "\t" in r]
+    assert rows
+    vals = np.array([[float(v) for v in r.split("\t")] for r in rows])
+    sums = vals.sum(axis=1)
+    ok = sums > 0
+    assert ok.any()
+    np.testing.assert_allclose(sums[ok], 1.0, atol=1e-4)
