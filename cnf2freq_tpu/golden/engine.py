@@ -78,6 +78,16 @@ class GoldenEngine:
         self.cfg: ModelConfig = ped.config
         self.params = params or RuntimeParams()
         self.correction_inference = False
+        # RELSKEWSTATES transition replay switch.  False (default):
+        # relscore = (relhaplo, 1-relhaplo) on every interval — which
+        # round 5's re-reading of the reference shows IS its behavior
+        # on whole intervals (``iter == tofind`` compares the
+        # intra-interval segment index against the split flag: 0 == 0
+        # on every ordinary interval, cnF2freq.cpp:2255-2265,
+        # 2343-2346).  True: free mixing (factor 1, the hypothetical
+        # never-fires reading round 4 recorded) — kept as a replay
+        # probe for the trace experiments in docs/ROUND5_NOTES.md.
+        self.relskew_reference_transition = False
         self.hooks = Hooks()
         self._ecache = {}
 
@@ -344,7 +354,8 @@ class GoldenEngine:
             return out
         if cfg.relskewstates:
             # relscore factor on the coherence bit (cnF2freq.cpp:2343-2362)
-            relscore = (relh, 1.0 - relh)
+            relscore = (1.0, 1.0) if self.relskew_reference_transition \
+                else (relh, 1.0 - relh)
             for frm in range(S):
                 if probs[frm] <= 0:
                     continue

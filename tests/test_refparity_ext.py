@@ -114,17 +114,24 @@ def test_relskewstates_binary_parity(tmp_path):
     collapse, member-scoped ignoreflag2) is pinned EXACTLY via the
     REFTRACE11 per-state emission trace and the preprocessing state.
 
-    The TRANSITION model is deliberately NOT matched: the reference
-    weighs the coherence bit with relhaplo only at the interval
-    containing a probe's lock position (``iter == tofind``,
-    cnF2freq.cpp:2343-2346) and lets the bit mix freely (factor 1)
-    everywhere else — an unfinished experiment (RELSKEWSTATES defaults
-    off at HEAD; the variant binary yields MINFACTOR likelihoods on
-    plain cohorts, observed on this fixture's stdout).  This framework
-    instead models coherence as a persistent HMM state with
-    relhaplo-weighted transitions on every interval
-    (models/relskew_states.py), whose EM fixed point learns relhaplo —
-    self-consistency pinned in tests/test_relskewstates.py."""
+    The TRANSITION layer: round 4 read ``iter == tofind``
+    (cnF2freq.cpp:2343-2346) as "relscore fires only at a probe's lock
+    interval".  Round 5's replay corrected that: ``iter`` is the
+    INTRA-interval segment index (the ``for iter <= (int)tofind`` loop,
+    cnF2freq.cpp:2255-2265), so on every ordinary interval tofind==0
+    and ``iter == tofind`` is TRUE — the reference applies the
+    relhaplo-weighted coherence factor on EVERY whole interval, exactly
+    the persistent-state semantics this framework's redesign
+    (models/relskew_states.py) uses; it is skipped only on the
+    pre-lock segment of a probe-split interval (a sub-interval
+    refinement that cannot occur for marker-locked fb probes).  A
+    full probe-trace replay (PRB vs GoldenDoit, bench-level experiment
+    in docs/ROUND5_NOTES.md) still shows structural deviations in the
+    128-state probe posteriors (~2x families of ratios) that neither
+    the persistent nor a free-mixing golden transition reproduces —
+    the remaining delta is in the reference's 128-state probe
+    normalisation, documented as an open corner; emissions and
+    preprocessing remain pinned exactly below."""
     binary = _ensure_variant("relskewstates")
     work = str(tmp_path)
     # seed chosen for a tie-free variance profile: the lockhaplos
