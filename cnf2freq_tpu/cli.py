@@ -121,6 +121,11 @@ def main(argv=None) -> int:
             print("# accelerator backend detected: defaulting to "
                   "float32 (pass --x64 to force float64)",
                   file=sys.stderr)
+    elif args.x64 and jax.default_backend() != "cpu":
+        print("# WARNING: --x64 on an accelerator backend: float64 is "
+              "software-emulated on TPU — expect minutes-scale compiles "
+              "and orders-of-magnitude slowdown; --f32 is the native "
+              "mode", file=sys.stderr)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
 
