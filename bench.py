@@ -188,7 +188,7 @@ def full_stage(base, scan_rate, scan_dt, detail_common):
     drv.preprocess()
     drv.iterate(early=True)
     drv.iterate(early=False)      # compile the non-early stages
-    full_iters = int(os.environ.get("BENCH_FULL_ITERS", 3))
+    full_iters = int(os.environ.get("BENCH_FULL_ITERS", 5))
     times = []
     for _ in range(full_iters):
         if times and remaining() < 3 * max(times):

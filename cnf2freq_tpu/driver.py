@@ -1286,6 +1286,20 @@ class Driver:
             lastinv_c = self._pad_rows(np.stack(
                 [[ped.by_id(n).lastinved[c] != -1 for c in range(C)]
                  for n in ids]).astype(bool), NI, False)
+        # compact imputation readbacks: only eligible rows can change
+        # md/ms (take is gated on eligibility), so their outputs are
+        # gathered to [NE, ...] before crossing the link
+        ekey = ("elig_rows", NI)
+        if ekey not in self._scan_cache:
+            elig_h = np.zeros(NI, dtype=bool)
+            for i, n in enumerate(ids):
+                ind = ped.by_id(n)
+                elig_h[i] = ind.has_prior and not ind.empty
+            rows_e = np.where(elig_h)[0].astype(np.int32)
+            self._scan_cache[ekey] = (
+                rows_e, jnp.asarray(rows_e) if len(rows_e) < NI
+                else None)
+        elig_rows, elig_idx = self._scan_cache[ekey]
         sfj = jnp.asarray(dtype.type(scalefactor))
         with self.tracer.span("device"):
             mdj, msj = self._md_ms_dev(ids)
@@ -1293,16 +1307,16 @@ class Driver:
             coh_args = dict(cnum=accum.cnum, cden=accum.cden,
                             has_rh=static.has_rh) if with_coh else {}
             (newmd, newms, newmd8, take, newhw, active, hits_dev,
-             hw_full, rh_new, got) = run_updates(
+             hw_full, rh_new, got, newms_c) = run_updates(
                 accum.inf, mdj, msj, static.prior, static.priorsure,
                 static.has_prior, static.children, static.eligible,
                 hwj, accum.hb, accum.hc, rhj,
                 static.descendants, jnp.asarray(lastinv_c), sfj,
-                **coh_args)
+                elig_idx=elig_idx, **coh_args)
             # one batched host transfer: device_get issues every copy
             # async before blocking (vs one serialized round trip per
             # np.asarray — the tunnel's per-transfer latency dominated)
-            pulls = [newmd8, newms, take, newhw, active, hits_dev]
+            pulls = [newmd8, newms_c, take, newhw, active, hits_dev]
             if with_coh:
                 pulls += [rh_new, got]
             if jax.process_count() > 1:
@@ -1315,23 +1329,35 @@ class Driver:
             newmd_h, newms_h, take_h, newhw_h, act_h, hits_h = host[:6]
             newhw_h = newhw_h.astype(np.float64)
             hits = int(hits_h)
-            # next iteration reuses the device outputs as its inputs
-            # when the pedigree still matches the host mirrors
-            self._update_mirror = dict(md=newmd_h, ms=newms_h,
-                                       mdj=newmd, msj=newms)
             newms_h = newms_h.astype(np.float64)
+            row_ids = ids if elig_idx is None else \
+                [ids[r] for r in elig_rows]
         with self.tracer.span("writeback"):
             # masked writeback: untouched lanes keep their full-precision
             # host values (the device pipeline may run at f32)
             mirror = self._param_mirror
-            for i, n in enumerate(ids):
+            for i, n in enumerate(row_ids):
                 ind = ped.by_id(n)
-                a = act_h[i]
-                ind.haploweight[a] = newhw_h[i][a]
                 t = take_h[i]
                 if t.any():
                     ind.markerdata[t] = newmd_h[i][t]
                     ind.markersure[t] = newms_h[i][t]
+            for i, n in enumerate(ids):
+                ind = ped.by_id(n)
+                a = act_h[i]
+                ind.haploweight[a] = newhw_h[i][a]
+            # next iteration reuses the device outputs as its inputs
+            # when the pedigree still matches the host mirrors; the
+            # host copies are re-stacked post-writeback (the compact
+            # readback no longer carries the full arrays)
+            md_m = self._pad_rows(np.stack(
+                [ped.by_id(n).markerdata for n in ids]).astype(np.int32),
+                NI)
+            ms_m = self._pad_rows(np.stack(
+                [ped.by_id(n).markersure for n in ids]).astype(dtype),
+                NI)
+            self._update_mirror = dict(md=md_m, ms=ms_m,
+                                       mdj=newmd, msj=newms)
             mirror["hw"][act_h] = newhw_h[act_h]
             mirror["hwj"] = hw_full
             if with_coh:

@@ -381,7 +381,7 @@ def make_resident_updates(cfg: ModelConfig, params: RuntimeParams,
     @jax.jit
     def run_updates(inf, md, ms, prior, priorsure, has_prior, children,
                     eligible, hw, hb, hc, rh, desc, lastinv_c, sf,
-                    cnum=None, cden=None, has_rh=None):
+                    cnum=None, cden=None, has_rh=None, elig_idx=None):
         dtype = hw.dtype
         if with_coh:
             got = cden > 0
@@ -432,10 +432,21 @@ def make_resident_updates(cfg: ModelConfig, params: RuntimeParams,
         # keep their input value) — stays on device as the mirror
         hw_full = jnp.where(active, hres.haploweight, hw)
         # newmd8: the compact readback copy (alleles fit int8); the
-        # int32 newmd stays on device as next iteration's input
-        return (newmd, newms, newmd.astype(jnp.int8), take,
+        # int32 newmd stays on device as next iteration's input.
+        # elig_idx compacts the imputation outputs to the eligible rows
+        # only (take is gated on eligibility, so other rows never
+        # change) — at typical cohorts the F1/founder rows are the
+        # majority and their md/ms readbacks were pure transfer waste.
+        newmd8 = newmd.astype(jnp.int8)
+        newms_out = newms
+        take_out = take
+        if elig_idx is not None:
+            newmd8 = newmd8[elig_idx]
+            newms_out = newms[elig_idx]
+            take_out = take[elig_idx]
+        return (newmd, newms, newmd8, take_out,
                 hres.haploweight, active, ires.hits + hres.hits,
-                hw_full, rh, got)
+                hw_full, rh, got, newms_out)
 
     return run_updates
 
