@@ -258,61 +258,14 @@ def make_blocked_family_pieces(cfg: ModelConfig, params: RuntimeParams,
         return pair, b12, mask, inf, turn_w
 
     def _stats_ext(em, fbres, fb_blk, total, with_turn):
-        # the statistics body of engine_ext.chromosome_scan_ext,
-        # restricted to the block's markers (W is per-marker local given
-        # the global total)
-        from .engine_ext import posterior_weight_ext, turn_weights_ext
-        from .hmm.probes import (_valid_paths, haplo_stats,
-                                 haplo_update_mask, infprob_stats,
-                                 probe_rule_factors)
+        # the shared extended-space statistics stage restricted to the
+        # block's markers (W is per-marker local given the global total)
+        from .engine_ext import (ext_statistics, posterior_weight_ext,
+                                 turn_weights_ext)
         blocks_v, collapses, ovs = em
-        V = len(blocks_v)
-        B, K = fb_blk.md.shape[0], fb_blk.md.shape[2]
         W = posterior_weight_ext(fbres, total, fb_blk.shiftignore)
-        VP = [_valid_paths(fb_blk.flag2ignore, k).astype(dtype)
-              for k in range(2)]
-        tied = "nonfocal" if cfg.relskewstates else False
-        rule_factors = [probe_rule_factors(fb_blk, cfg, dtype, w,
-                                           tied_rule=tied)
-                        for w in range(n_variants)]
-        mask_std = haplo_update_mask(fb_blk, cfg)
-        b12 = jnp.zeros((B, K, cfg.numslots, 2), dtype=dtype)
-        inf = jnp.zeros((B, K, cfg.numslots, 2, 2), dtype=dtype)
-        pair = jnp.zeros((B, K, 2, 2), dtype=dtype)
-        mask = jnp.zeros((B, K, cfg.numslots), dtype=bool)
-        for v in range(V):
-            PBm = [blocks_v[v].pb[k] *
-                   VP[k][:, None, None, None, :, None] for k in range(2)]
-            b12_v = jnp.zeros((B, K, cfg.numslots, 2), dtype=dtype)
-            inf_v = jnp.zeros((B, K, cfg.numslots, 2, 2), dtype=dtype)
-            pair_v = jnp.zeros((B, K, 2, 2), dtype=dtype)
-            for w in range(n_variants):
-                F0, FPs = rule_factors[w]
-                frootw = blocks_v[v].froot * F0
-                PBw = [PBm[k] * FPs[k] for k in range(2)]
-                hs = haplo_stats(W[:, :, v], blocks_v[v], fb_blk, cfg,
-                                 froot=frootw, PB=PBw)
-                b12_v = b12_v + hs.b12
-                ist = infprob_stats(W[:, :, v], blocks_v[v], fb_blk, cfg,
-                                    froot=frootw, PB=PBw,
-                                    root_override=ovs[v],
-                                    drop_side1=cfg.relskewstates)
-                inf_v = inf_v + ist.accum
-                pair_v = pair_v + ist.pair
-            b12_v, inf_v, pair_v = (x / n_variants
-                                    for x in (b12_v, inf_v, pair_v))
-            mask_v = mask_std
-            if cfg.selfing:
-                mv0 = fb_blk.exists[:, None, 0:1] & \
-                    ~collapses[v][:, :, None]
-                mask_v = jnp.concatenate(
-                    [mask_std[..., 0:1] & mv0, mask_std[..., 1:]],
-                    axis=-1) if v == 0 else \
-                    jnp.concatenate([mv0, mask_std[..., 1:]], axis=-1)
-            mask = mask | mask_v
-            b12 = b12 + jnp.where(mask_v[..., None], b12_v, 0.0)
-            inf = inf + inf_v
-            pair = pair + pair_v
+        b12, mask, inf, pair = ext_statistics(
+            W, blocks_v, collapses, ovs, fb_blk, cfg, n_variants)
         turn_w = turn_weights_ext(fbres, fb_blk, cfg) if with_turn \
             else jnp.zeros((1,), dtype=dtype)
         return pair, b12, mask, inf, turn_w

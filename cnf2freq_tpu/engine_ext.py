@@ -348,34 +348,21 @@ def coherence_slot_ext(fbres: ExtFBResult, blocks_v, fb: FamilyBatch,
     return jnp.concatenate([c, pad], axis=1)
 
 
-def chromosome_scan_ext(fb: FamilyBatch, dists: jnp.ndarray,
-                        cfg: ModelConfig, params: RuntimeParams,
-                        with_infprobs: bool = True, ratemat=None,
-                        n_variants: int = 1,
-                        with_coherence: bool = False):
-    """One extended-state chromosome scan with the full ScanResult
-    contract of engine.chromosome_scan (total likelihoods, haplo/infprob
-    update statistics, genotype-pair posteriors, turn scores).
-
-    n_variants: probe-dedup sign variants.  ignoreflag2's duplicate-
-    member rule 2 stays ACTIVE on the extended builds (only rule 3 is
-    gated out, cnF2freq.cpp:3478-3487) — and duplicates are structural
-    here: every selfed analysis unit holds its parent in both parent
-    slots.  Pass Driver._n_variants (2**constraints of the deepest
-    duplicate group)."""
-    from .engine import ScanResult
-    from .hmm.probes import (_valid_paths, haplo_stats, haplo_update_mask,
-                             infprob_stats, probe_rule_factors)
+def ext_statistics(W, blocks_v, collapses, ovs, fb: FamilyBatch,
+                   cfg: ModelConfig, n_variants: int,
+                   with_infprobs: bool = True):
+    """The extended-space statistics stage (shared by the whole-
+    chromosome scan and the marker-blocked block pass): per extension
+    value v, probe-dedup-variant-averaged haplo/infprob statistics and
+    the selfing focal-collapse masking.  W: [B, M, V, NS, S] posterior
+    weights; returns (b12, mask, inf, pair)."""
+    from .hmm.probes import (_valid_paths, haplo_stats,
+                             haplo_update_mask, infprob_stats,
+                             probe_rule_factors)
 
     dtype = fb.ms.dtype
     B, M = fb.md.shape[0], fb.md.shape[2]
-    blocks_v, e_ext, collapses, ovs = ext_blocks(fb, cfg, dtype=dtype)
     V = len(blocks_v)
-    fbres = extended_forward_backward(e_ext, dists, fb, cfg, params,
-                                      ratemat=ratemat)
-    total = combined_loglik_ext(fbres, fb.shiftignore)
-    W = posterior_weight_ext(fbres, total, fb.shiftignore)
-
     VP = [_valid_paths(fb.flag2ignore, k).astype(dtype) for k in range(2)]
     rule_factors = []
     # rule 3 scope per build: SELFING disables it outright, RELSKEWSTATES
@@ -428,7 +415,36 @@ def chromosome_scan_ext(fb: FamilyBatch, dists: jnp.ndarray,
         if with_infprobs:
             inf = inf + inf_v
             pair = pair + pair_v
+    return b12, mask, inf, pair
 
+
+def chromosome_scan_ext(fb: FamilyBatch, dists: jnp.ndarray,
+                        cfg: ModelConfig, params: RuntimeParams,
+                        with_infprobs: bool = True, ratemat=None,
+                        n_variants: int = 1,
+                        with_coherence: bool = False):
+    """One extended-state chromosome scan with the full ScanResult
+    contract of engine.chromosome_scan (total likelihoods, haplo/infprob
+    update statistics, genotype-pair posteriors, turn scores).
+
+    n_variants: probe-dedup sign variants.  ignoreflag2's duplicate-
+    member rule 2 stays ACTIVE on the extended builds (only rule 3 is
+    gated out, cnF2freq.cpp:3478-3487) — and duplicates are structural
+    here: every selfed analysis unit holds its parent in both parent
+    slots.  Pass Driver._n_variants (2**constraints of the deepest
+    duplicate group)."""
+    from .engine import ScanResult
+
+    dtype = fb.ms.dtype
+    B, M = fb.md.shape[0], fb.md.shape[2]
+    blocks_v, e_ext, collapses, ovs = ext_blocks(fb, cfg, dtype=dtype)
+    fbres = extended_forward_backward(e_ext, dists, fb, cfg, params,
+                                      ratemat=ratemat)
+    total = combined_loglik_ext(fbres, fb.shiftignore)
+    W = posterior_weight_ext(fbres, total, fb.shiftignore)
+    b12, mask, inf, pair = ext_statistics(
+        W, blocks_v, collapses, ovs, fb, cfg, n_variants,
+        with_infprobs=with_infprobs)
     turn_w = turn_weights_ext(fbres, fb, cfg)
     coh = jnp.full((B, M, cfg.numslots), 0.5, dtype=dtype)
     if with_coherence and cfg.relskewstates:
